@@ -1,38 +1,444 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synth Common-Crawl-style pages from the
+sf0.001 documents table, MHTML-parse them with the Arrow kernel, and
+extract each page's main document text (byte-identical to reference
+semantics, SURVEY.md §2.6 S2).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + training-data ops); DuckDB oracles restate the
+synthetic-page generator's arithmetic (frontier/synth.py keeps every
+oracle-relevant rule hash-free on purpose).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from frontier import synth
+    return synth.pages_from_documents(spark, sf_dir)
+
+
+def _doc_id(col: str = "url"):
+    return F.regexp_extract(F.col(col), r"page(\d+)\.html", 1).cast("bigint")
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from frontier.spark import parse
+    pages = _pages(spark, "/root/testdata/sf0.001")
+    return (parse.extract_main_text(pages)
+            .select(_doc_id("url").alias("doc_id"), "url", "lang", "text")
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_mhtml_extract_text(spark, sf_dir):
+    from frontier.spark import parse
+    return (parse.extract_main_text(_pages(spark, sf_dir))
+            .select(_doc_id("url").alias("doc_id"), "text"))
+
+
+def q_mhtml_resource_count(spark, sf_dir):
+    from frontier.spark import parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    return (res.groupBy("url")
+            .agg(F.count("*").alias("n_parts"))
+            .select(_doc_id("url").alias("doc_id"), "n_parts"))
+
+
+def q_mhtml_links(spark, sf_dir):
+    from frontier.spark import parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    links = parse.discovered_links(res) \
+        .where(F.col("content_type") == "image/png")
+    return (links.select(_doc_id("src_url").alias("src_doc"),
+                         _doc_id("url").alias("dst_doc"))
+            .distinct())
+
+
+def q_mhtml_filenames(spark, sf_dir):
+    from frontier.spark import parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    return (res.where(F.col("content_type") == "text/html")
+            .select(_doc_id("url").alias("doc_id"), "filename"))
+
+
+def q_urlnorm_query_sort(spark, sf_dir):
+    from frontier.spark import schedule
+    pages = _pages(spark, sf_dir).select("url")
+    canon = schedule.with_url_canon(pages)
+    return canon.select(
+        _doc_id("url").alias("doc_id"),
+        F.regexp_extract("url_canon", r"(\?.*)$", 1).alias("canon_query"))
+
+
+def q_seen_antijoin(spark, sf_dir):
+    from frontier.spark import seen
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cand = orders.select(
+        (F.col("o_custkey") + 1500).cast("string").alias("url_canon")) \
+        .distinct()
+    seen_urls = customer.select(
+        F.col("c_custkey").cast("string").alias("url_canon"))
+    bloom = seen.build(seen_urls, num_buckets=16,
+                       expected_keys_per_bucket=20000)
+    return seen.filter_unseen(cand, bloom, seen_exact=seen_urls,
+                              num_buckets=16)
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (events.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("first_event_id")))
+
+
+def q_politeness_topk(spark, sf_dir):
+    from frontier.spark import schedule
+    events = _read(spark, sf_dir, "events")
+    frontier = events.select(
+        F.col("event_id").cast("string").alias("url_canon"),
+        F.col("event_type").alias("host"),
+        F.col("value").alias("priority"),
+        F.col("ts").alias("warc_ts"))
+    frontier = frontier.withColumn(
+        "salt", F.pmod(F.xxhash64("url_canon"), F.lit(16)).cast("int"))
+    cut = schedule.politeness_cut(frontier, budget_per_host=5)
+    return cut.select(F.col("host").alias("event_type"),
+                      F.col("url_canon").cast("bigint").alias("event_id"),
+                      "rank_in_host")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"),
+                 F.sum(cents("l_extendedprice")).alias("sum_base_c"),
+                 F.sum(cents("l_extendedprice") * (100 - disc100))
+                 .alias("sum_disc_c4"),
+                 F.count("*").alias("count_order")))
+
+
+def q_top_revenue(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round(F.col("l_discount") * 100).cast("long")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("o_orderkey")
+            .agg(F.sum(cents * (100 - disc100)).alias("revenue_c4"))
+            .orderBy(F.col("revenue_c4").desc(), F.col("o_orderkey").asc())
+            .limit(10))
+
+
+def q_region_nation_join(spark, sf_dir):
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    return (nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_nations"),
+                 F.min("n_name").alias("first_nation")))
+
+
+def q_events_window(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id", "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.row_number().over(w).alias("seq"))
+
+
+def q_event_type_except(spark, sf_dir):
+    events = _read(spark, sf_dir, "events")
+    hot = events.where(F.col("value") > 300).select("event_type").distinct()
+    very = events.where(F.col("value") > 400).select("event_type").distinct()
+    return hot.exceptAll(very).distinct() \
+        .select(F.col("event_type").alias("only_warm_type"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    return textops.exact_dedup(docs).select(
+        F.col("doc_id").alias("rep_doc_id")).orderBy("rep_doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+def q_token_stats(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.token_stats(_read(spark, sf_dir, "documents")) \
+        .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio")
+
+
+def q_lang_guess(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.lang_guess(_read(spark, sf_dir, "documents"))
+
+
+def q_minhash_sig(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.minhash_signatures(_read(spark, sf_dir, "documents"),
+                                      n_hashes=4)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    sig = textops.minhash_signatures(docs, n_hashes=4)
+    return textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+
+
+def q_simhash(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.simhash(_read(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from frontier.spark import ann
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    return ann.cosine_topk(emb, queries, k=3) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def q_media_features(spark, sf_dir):
+    from frontier.spark import media, parse
+    res = parse.parse_pages(_pages(spark, sf_dir))
+    feats = media.extract_features(media.media_resources(res))
+    return feats.select(_doc_id("url").alias("doc_id"), "part_index",
+                        "media_kind", "width", "height")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mhtml_extract_text": q_mhtml_extract_text,
+        "mhtml_resource_count": q_mhtml_resource_count,
+        "mhtml_links": q_mhtml_links,
+        "mhtml_filenames": q_mhtml_filenames,
+        "urlnorm_query_sort": q_urlnorm_query_sort,
+        "seen_antijoin": q_seen_antijoin,
+        "first_wins_dedup": q_first_wins_dedup,
+        "politeness_topk": q_politeness_topk,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "region_nation_join": q_region_nation_join,
+        "events_window": q_events_window,
+        "event_type_except": q_event_type_except,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint": q_fingerprint,
+        "token_stats": q_token_stats,
+        "lang_guess": q_lang_guess,
+        "minhash_sig": q_minhash_sig,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_MINHASH_CTE = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws)-2),
+                          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+         ELSE [array_to_string(ws, ' ')] END AS shl
+  FROM words
+), ex AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh
+), sig AS (
+  SELECT doc_id,
+    MIN(CAST(concat('0x', substr(md5(s || '#0'),1,8)) AS BIGINT)) AS h0,
+    MIN(CAST(concat('0x', substr(md5(s || '#1'),1,8)) AS BIGINT)) AS h1,
+    MIN(CAST(concat('0x', substr(md5(s || '#2'),1,8)) AS BIGINT)) AS h2,
+    MIN(CAST(concat('0x', substr(md5(s || '#3'),1,8)) AS BIGINT)) AS h3
+  FROM ex GROUP BY doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mhtml_extract_text": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 THEN NULL ELSE text END AS text
+            FROM documents""",
+        "mhtml_resource_count": """
+            SELECT doc_id,
+                   1 + (doc_id % 4)
+                     + CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS n_parts
+            FROM documents""",
+        "mhtml_links": """
+            SELECT DISTINCT d.doc_id AS src_doc,
+                   (d.doc_id*131 + 7*i.n + 1)
+                       % (SELECT COUNT(*) FROM documents) AS dst_doc
+            FROM documents d, (VALUES (0),(1),(2)) AS i(n)
+            WHERE i.n < d.doc_id % 4""",
+        "mhtml_filenames": """
+            SELECT doc_id, 'page' || doc_id || '.html' AS filename
+            FROM documents""",
+        "urlnorm_query_sort": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 7 THEN '?a=1&b=2' ELSE '' END
+                       AS canon_query
+            FROM documents""",
+        "seen_antijoin": """
+            SELECT DISTINCT CAST(o_custkey + 1500 AS VARCHAR) AS url_canon
+            FROM orders
+            WHERE o_custkey + 1500 NOT IN
+                  (SELECT c_custkey FROM customer)""",
+        "first_wins_dedup": """
+            SELECT user_id, event_id AS first_event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1""",
+        "politeness_topk": """
+            SELECT event_type, event_id, CAST(rn AS INTEGER) AS rank_in_host
+            FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, ts, CAST(event_id AS VARCHAR)) AS rn
+              FROM events) WHERE rn <= 5""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_base_c,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_c4,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_revenue": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_orderkey
+            ORDER BY revenue_c4 DESC, o_orderkey ASC
+            LIMIT 10""",
+        "region_nation_join": """
+            SELECT r_name, COUNT(*) AS n_nations,
+                   MIN(n_name) AS first_nation
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        "events_window": """
+            SELECT event_id, user_id,
+                   lag(event_id) OVER w AS prev_event_id,
+                   CAST(row_number() OVER w AS INTEGER) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        "event_type_except": """
+            SELECT DISTINCT event_type AS only_warm_type
+            FROM events WHERE value > 300
+            EXCEPT
+            SELECT DISTINCT event_type FROM events WHERE value > 400""",
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS rep_doc_id
+            FROM documents GROUP BY sha256(text)""",
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents""",
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     / greatest(length(text), 1) AS alpha_ratio,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                     / greatest(length(text), 1) AS punct_ratio
+            FROM documents""",
+        "lang_guess": """
+            SELECT doc_id,
+              (length(text)-length(replace(text,'data','')))//4 AS hits_a,
+              (length(text)-length(replace(text,'query','')))//5 AS hits_b,
+              (length(text)-length(replace(text,'join','')))//4 AS hits_c,
+              CASE
+                WHEN (length(text)-length(replace(text,'data','')))//4
+                     >= (length(text)-length(replace(text,'query','')))//5
+                 AND (length(text)-length(replace(text,'data','')))//4
+                     >= (length(text)-length(replace(text,'join','')))//4
+                  THEN 'A'
+                WHEN (length(text)-length(replace(text,'query','')))//5
+                     >= (length(text)-length(replace(text,'join','')))//4
+                  THEN 'B'
+                ELSE 'C' END AS lang_guess
+            FROM documents""",
+        "minhash_sig": _MINHASH_CTE + "SELECT * FROM sig",
+        "lsh_pairs": _MINHASH_CTE + """
+            , bands AS (
+              SELECT doc_id, 0 AS band,
+                     CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key
+              FROM sig)
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key
+             AND l.doc_id < r.doc_id""",
+        "ann_cosine_topk": """
+            SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+            FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                         e.vec_id ASC) AS rn
+              FROM embeddings e,
+                   (SELECT * FROM embeddings WHERE vec_id < 5) q
+              WHERE e.vec_id != q.vec_id)
+            WHERE rn <= 3""",
+        # simhash / media_features: pandas-UDF & stub-codec kernels —
+        # not SQL-expressible; driver records rows-only checks
+    }

@@ -755,3 +755,16 @@ def select_main_part(archive_headers, parts):
             break
         return part
     return None
+
+
+def strip_part_terminator(raw: bytes) -> bytes:
+    """Drop the single CRLF that terminates a part before its boundary.
+
+    The reference keeps it in the content slice (TODO at
+    mhtml.py:704-705: the trailing CRLF logically belongs to the
+    boundary line); for *decoded* text extraction we remove exactly one
+    trailing CRLF so round-trips are byte-identical to the original
+    payload."""
+    if raw.endswith(CRLF):
+        return raw[:-2]
+    return raw

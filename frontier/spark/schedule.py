@@ -1,0 +1,151 @@
+"""Politeness scheduler: per-host priority queue + robots gating.
+
+Frontier rows carry ``(url, url_canon, host, priority, warc_ts)``.
+Semantics (north_star): deterministic fetch order per host by
+``(priority, warc_ts, url_canon)``; at most ``budget`` URLs per host
+per round; hosts spread across partitions by ``host_bucket`` with an
+explicit salt so one hot host cannot pin a whole executor.
+
+Skew design (SURVEY.md §4.3): the Zipf host distribution means a naive
+``Window.partitionBy(host)`` puts the hottest host's millions of rows
+in ONE task. Budget cutting is a per-host top-k, so we do it in two
+phases — a salted partial top-k then a final top-k — bounding every
+window partition to ``num_salts × budget`` rows regardless of skew.
+AQE skew-join handles the shuffle side; the salt handles the window
+side, which AQE cannot split.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from frontier.kernel import urlnorm
+
+DEFAULT_HOST_BUCKETS = 256
+DEFAULT_SALTS = 16
+
+ORDER_COLS = ("priority", "warc_ts", "url_canon")  # deterministic tie-break
+
+
+_canon_udf_cache = None
+
+
+def _canon_udf():
+    # created lazily: pandas_udf needs an active SparkSession for DDL
+    # parsing, which doesn't exist at import time
+    global _canon_udf_cache
+    if _canon_udf_cache is None:
+        @pandas_udf("string")
+        def canon(urls: pd.Series) -> pd.Series:
+            return urls.map(urlnorm.canonicalize)
+        _canon_udf_cache = canon
+    return _canon_udf_cache
+
+
+def with_url_canon(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Canonicalized URL column — Arrow-batched pandas UDF (the only
+    Python in the scheduler; everything else is codegen'd)."""
+    return df.withColumn("url_canon", _canon_udf()(F.col(url_col)))
+
+
+def with_host(df: DataFrame, canon_col: str = "url_canon",
+              num_buckets: int = DEFAULT_HOST_BUCKETS,
+              num_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """host, host_bucket, salt — pure Spark SQL on the canonical URL."""
+    return (df
+            .withColumn("host",
+                        F.regexp_extract(F.col(canon_col),
+                                         r"^[a-z][a-z0-9+.-]*://([^/:?#]+)",
+                                         1))
+            .withColumn("host_bucket",
+                        F.pmod(F.xxhash64("host"),
+                               F.lit(num_buckets)).cast("int"))
+            .withColumn("salt",
+                        F.pmod(F.xxhash64(F.col(canon_col)),
+                               F.lit(num_salts)).cast("int")))
+
+
+def politeness_cut(frontier: DataFrame, budget_per_host: int,
+                   num_salts: int = DEFAULT_SALTS) -> DataFrame:
+    """Keep the top ``budget_per_host`` URLs per host by
+    ``(priority, warc_ts, url_canon)`` — two-phase, skew-safe.
+
+    Phase 1 cuts within (host, salt): every partition ≤ budget rows
+    per salt. Phase 2 cuts within host over ≤ salts×budget survivors.
+    Results are identical to a single-phase window (top-k is
+    decomposable) but the max window partition is bounded.
+    """
+    order = [F.col(c).asc() for c in ORDER_COLS]
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (frontier
+            .withColumn("_rn1", F.row_number().over(w1))
+            .where(F.col("_rn1") <= budget_per_host)
+            .drop("_rn1")
+            .withColumn("rank_in_host", F.row_number().over(w2))
+            .where(F.col("rank_in_host") <= budget_per_host))
+
+
+def fetch_order(frontier: DataFrame,
+                num_partitions: int | None = None) -> DataFrame:
+    """Final fetch layout: salted repartition on (host_bucket, salt),
+    sorted within partitions by host then the deterministic order
+    cols — the DataFrame form of salted
+    repartitionAndSortWithinPartitions (north_star)."""
+    parts = [F.col("host_bucket"), F.col("salt")]
+    out = frontier.repartition(num_partitions, *parts) if num_partitions \
+        else frontier.repartition(*parts)
+    return out.sortWithinPartitions("host", *ORDER_COLS)
+
+
+# ---------------------------------------------------------------------------
+# robots gating
+# ---------------------------------------------------------------------------
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Gate the frontier on per-host robots rules.
+
+    ``robots(host, disallow_prefixes array<string>, crawl_delay_ms)``
+    is tiny relative to the frontier (one row per host) → broadcast
+    left join, then an allow predicate evaluated entirely JVM-side:
+    a URL is blocked when any disallow prefix matches its path.
+    """
+    gated = (frontier
+             .join(F.broadcast(robots), "host", "left")
+             .withColumn("path",
+                         F.regexp_extract("url_canon",
+                                          r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?",
+                                          1))
+             .withColumn(
+                 "robots_allowed",
+                 F.when(F.col("disallow_prefixes").isNull(), F.lit(True))
+                 .otherwise(~F.exists(
+                     "disallow_prefixes",
+                     lambda p: F.col("path").startswith(p)))))
+    return (gated
+            .withColumn("crawl_delay_ms",
+                        F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))
+            .drop("path"))
+
+
+def schedule(frontier: DataFrame, robots: DataFrame | None,
+             budget_per_host: int,
+             num_partitions: int | None = None) -> DataFrame:
+    """Full scheduling pipeline: canon → host → robots → budget → order.
+
+    Input needs (url, priority, warc_ts); output adds url_canon, host,
+    host_bucket, salt, robots_allowed, rank_in_host — fetch-ordered.
+    """
+    staged = frontier
+    if "url_canon" not in staged.columns:
+        staged = with_url_canon(staged)
+    staged = staged.where(F.col("url_canon").isNotNull())
+    if "host" not in staged.columns:
+        staged = with_host(staged)
+    if robots is not None:
+        staged = apply_robots(staged, robots).where(F.col("robots_allowed"))
+    cut = politeness_cut(staged, budget_per_host)
+    return fetch_order(cut, num_partitions)

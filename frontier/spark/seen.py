@@ -1,0 +1,179 @@
+"""Partitioned Bloom-filter URL-seen set.
+
+The reference's seen set is a Python ``set`` of resource locations
+(merge.py:30-44). At 10^10 URLs that is ~1 TB of strings — so the
+scaled design is a *partitioned* Bloom filter relation::
+
+    seen_bloom(bucket int, bloom binary)
+
+* ``bucket = pmod(xxhash64(url_canon), num_buckets)`` — computed
+  JVM-side (whole-stage codegen), so Python never hashes strings.
+* per-bucket bit arrays are numpy ``uint8`` vectors built/probed with
+  ``applyInPandas`` grouped on ``bucket`` — pure vectorized bit math.
+* k hash positions come from double hashing (Kirsch-Mitzenmacher):
+  ``pos_i = (h1 + i*h2) mod m`` with ``h1 = xxhash64(url)``,
+  ``h2 = xxhash64(url, salt)`` — both JVM-side columns.
+
+Sizing: at 10 bits/key and k=7 the FPP is ~0.8%. 10^10 keys → 12.5 GB
+of filter across ``num_buckets`` rows; with 4096 buckets each blob is
+~3 MB — comfortably broadcastable per-bucket and unionable via
+``np.bitwise_or``. Locally we default to 64 buckets.
+
+Correctness contract: the Bloom is a PRE-filter. "definitely new" URLs
+skip the expensive exact check; "maybe seen" URLs are confirmed with an
+exact ``left_anti`` join against the seen-urls relation, so a false
+positive can never drop a URL (SURVEY.md §7.2).
+
+Spark's own ``bloom_filter_agg`` / ``might_contain`` are not SQL
+registered in PySpark 4.1.2 (verified in-sandbox) and the north_rule
+mandates from-scratch anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_NUM_BUCKETS = 64
+DEFAULT_BITS_PER_KEY = 10
+DEFAULT_K = 7
+_SALT = "frontier-bloom-h2"
+
+BLOOM_DDL = "bucket int, bloom binary, n_keys bigint"
+
+
+def with_hash_cols(df: DataFrame, url_col: str = "url_canon",
+                   num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+    """Attach (bucket, h1, h2) — all JVM-side, codegen'd."""
+    return (df
+            .withColumn("h1", F.xxhash64(F.col(url_col)))
+            .withColumn("h2", F.xxhash64(F.col(url_col), F.lit(_SALT)))
+            .withColumn("bucket",
+                        F.pmod(F.col("h1"), F.lit(num_buckets))
+                        .cast("int")))
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m_bits: int):
+    """(n, k) matrix of bit positions via double hashing, uint64 math."""
+    h1u = h1.astype(np.uint64)
+    h2u = h2.astype(np.uint64) | np.uint64(1)  # force odd → full cycle
+    i = np.arange(k, dtype=np.uint64)
+    return (h1u[:, None] + i[None, :] * h2u[:, None]) % np.uint64(m_bits)
+
+
+def build(urls: DataFrame, url_col: str = "url_canon",
+          num_buckets: int = DEFAULT_NUM_BUCKETS,
+          bits_per_bucket: int | None = None,
+          expected_keys_per_bucket: int = 200_000,
+          k: int = DEFAULT_K) -> DataFrame:
+    """URLs → seen_bloom(bucket, bloom, n_keys), one row per bucket."""
+    if bits_per_bucket is None:
+        bits_per_bucket = expected_keys_per_bucket * DEFAULT_BITS_PER_KEY
+    m_bits = int(bits_per_bucket)
+    m_bytes = (m_bits + 7) // 8
+
+    hashed = with_hash_cols(urls.select(url_col).dropDuplicates([url_col]),
+                            url_col, num_buckets)
+
+    def make_filter(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bytes, dtype=np.uint8)
+        pos = _positions(pdf["h1"].to_numpy(), pdf["h2"].to_numpy(),
+                         k, m_bits).ravel()
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+        return pd.DataFrame({
+            "bucket": [int(pdf["bucket"].iloc[0])],
+            "bloom": [bits.tobytes()],
+            "n_keys": [len(pdf)],
+        })
+
+    return hashed.groupBy("bucket").applyInPandas(make_filter, BLOOM_DDL)
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two bloom relations bucket-wise (bitwise OR)."""
+    both = a.unionByName(b)
+
+    def orr(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        total = 0
+        for blob, n in zip(pdf["bloom"], pdf["n_keys"]):
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else np.bitwise_or(acc, arr)
+            total += int(n)
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "bloom": [acc.tobytes()],
+                             "n_keys": [total]})
+
+    return both.groupBy("bucket").applyInPandas(orr, BLOOM_DDL)
+
+
+def probe(candidates: DataFrame, seen_bloom: DataFrame,
+          url_col: str = "url_canon",
+          num_buckets: int = DEFAULT_NUM_BUCKETS,
+          k: int = DEFAULT_K) -> DataFrame:
+    """Tag candidates with ``maybe_seen``.
+
+    Shuffles both sides on ``bucket`` (co-partitioned join), then a
+    vectorized membership test per bucket group. Output keeps all
+    candidate columns + ``maybe_seen boolean``.
+    """
+    cand = with_hash_cols(candidates, url_col, num_buckets)
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in cand.schema.fields) + ", maybe_seen boolean"
+    cols = list(cand.columns)
+
+    # cogroup keeps the bloom blob ONE row per bucket instead of
+    # replicating ~KB-MB of filter bytes onto every candidate row
+    def check(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame
+              ) -> pd.DataFrame:
+        if cand_pdf.empty:
+            out = cand_pdf[cols].copy()
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        out = cand_pdf[cols].copy()
+        if bloom_pdf.empty or bloom_pdf["bloom"].iloc[0] is None:
+            out["maybe_seen"] = False
+            return out
+        bits = np.frombuffer(bloom_pdf["bloom"].iloc[0], dtype=np.uint8)
+        m_bits = bits.shape[0] * 8
+        pos = _positions(cand_pdf["h1"].to_numpy(),
+                         cand_pdf["h2"].to_numpy(), k, m_bits)
+        byte_idx = (pos >> np.uint64(3)).astype(np.int64)
+        bit_mask = (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        hit = (bits[byte_idx] & bit_mask) != 0
+        out["maybe_seen"] = hit.all(axis=1)
+        return out
+
+    return (cand.groupBy("bucket")
+            .cogroup(seen_bloom.groupBy("bucket"))
+            .applyInPandas(check, out_ddl))
+
+
+def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
+                  seen_exact: DataFrame | None = None,
+                  url_col: str = "url_canon",
+                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+    """The full anti-join: Bloom pre-filter + exact confirm.
+
+    * ``maybe_seen = False`` → definitely new (Bloom has no false
+      negatives) — passes through with NO exact-join cost.
+    * ``maybe_seen = True`` → confirmed against ``seen_exact`` with a
+      ``left_anti`` join; survivors are Bloom false positives.
+
+    At 10^10 scale the exact join touches only FPP≈1% of candidates —
+    that is the whole point of the partitioned Bloom.
+    """
+    tagged = probe(candidates, seen_bloom, url_col, num_buckets)
+    fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen", "h1",
+                                                    "h2", "bucket")
+    if seen_exact is None:
+        return fresh
+    suspects = tagged.where(F.col("maybe_seen")).drop("maybe_seen", "h1",
+                                                      "h2", "bucket")
+    confirmed_new = suspects.join(
+        seen_exact.select(F.col(url_col)).dropDuplicates([url_col]),
+        url_col, "left_anti")
+    return fresh.unionByName(confirmed_new)

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for the frontier workload.
+
+Local-mode settings mirror what a 1000-executor cluster deployment
+would set per-executor; comments note the at-scale intent so the same
+config module serves both (SURVEY.md §4.2, pyspark guide).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "frontier",
+              cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # local: match cores; cluster: ~2-3x total executor cores, or
+        # rely on AQE coalescing from a higher initial value
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # host-skewed shuffles: let AQE split oversized partitions
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("FRONTIER_DRIVER_MEM",
+                                                      "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pages carry MB-scale MHTML blobs: keep Arrow batches small so
+        # the Python worker's resident set stays bounded
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+        # 128 MiB parquet split targets — at 100 TB this yields ~800k
+        # input tasks, the right granularity for 1000 executors
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in (extra or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,107 @@
+"""Iceberg-style snapshot/checkpoint shim.
+
+No Iceberg jars ship in this sandbox, so crawl state is checkpointed
+as parquet directories plus ``snapshot-N.json`` manifests with an
+atomic-rename commit — the same contract as an Iceberg table
+(append-only snapshots, parent lineage, time-travel reads, rollback),
+so swapping in real Iceberg is a one-line change of this module
+(SURVEY.md §7.6).
+
+Manifest layout::
+
+    <root>/
+      snapshot-0.json        {snapshot_id, parent_id, tables, metrics,
+                              lineage: {table: {n_rows, n_files, files}}}
+      data/snap-0/<table>/   parquet
+
+Commits are atomic: the manifest is written to a temp file then
+``os.replace``d into place; a crashed commit leaves data files but no
+manifest → invisible, exactly like Iceberg's optimistic protocol.
+``latest()`` + ``read()`` give resume-from-checkpoint; per-partition
+lineage (file list + row counts) rides in the manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------
+    def _manifest_path(self, snapshot_id: int) -> str:
+        return os.path.join(self.root, f"snapshot-{snapshot_id}.json")
+
+    def snapshot_ids(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.root):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                out.append(int(name[len("snapshot-"):-len(".json")]))
+        return sorted(out)
+
+    def latest_id(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def manifest(self, snapshot_id: int | None = None) -> dict | None:
+        if snapshot_id is None:
+            snapshot_id = self.latest_id()
+        if snapshot_id is None:
+            return None
+        with open(self._manifest_path(snapshot_id)) as handle:
+            return json.load(handle)
+
+    # -- commit ----------------------------------------------------------
+    def commit(self, tables: dict[str, DataFrame],
+               metrics: dict[str, Any] | None = None) -> int:
+        parent = self.latest_id()
+        snap_id = 0 if parent is None else parent + 1
+        lineage: dict[str, Any] = {}
+        table_paths: dict[str, str] = {}
+        for name, df in tables.items():
+            path = os.path.join(self.root, "data", f"snap-{snap_id}", name)
+            df.write.mode("overwrite").parquet(path)
+            files = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet"))
+            lineage[name] = {
+                "n_files": len(files),
+                "files": files,
+                "n_rows": df.sparkSession.read.parquet(path).count(),
+            }
+            table_paths[name] = path
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "tables": table_paths,
+            "lineage": lineage,
+            "metrics": metrics or {},
+            "wall_ts": time.time(),
+        }
+        tmp = self._manifest_path(snap_id) + ".tmp"
+        with open(tmp, "w") as handle:
+            json.dump(manifest, handle, indent=2)
+        os.replace(tmp, self._manifest_path(snap_id))  # atomic commit
+        return snap_id
+
+    # -- read / time travel ---------------------------------------------
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        man = self.manifest(snapshot_id)
+        if man is None or table not in man["tables"]:
+            return None
+        return spark.read.parquet(man["tables"][table])
+
+    def rollback(self, to_snapshot_id: int) -> None:
+        """Drop manifests newer than ``to_snapshot_id`` (data files are
+        left in place, like Iceberg's expire-later model)."""
+        for sid in self.snapshot_ids():
+            if sid > to_snapshot_id:
+                os.remove(self._manifest_path(sid))

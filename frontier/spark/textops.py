@@ -1,0 +1,237 @@
+"""Text-analysis / dedup operators for large-scale training-data
+pipelines over ``documents(doc_id, text, lang, source, n_chars)``.
+
+All hot paths are built-in ``pyspark.sql.functions`` (JVM, codegen) —
+the only pandas UDF is the simhash bit-twiddling kernel. Every
+operator keyed for the DuckDB oracle uses only hash functions that
+exist identically in both engines (md5/sha256), never xxhash64.
+
+Scale notes: exact dedup and minhash both shuffle once on their group
+key; LSH banding turns O(n²) near-dup search into an equi-join on
+(band_index, band_hash) — the join key is uniform by construction
+(hash values), so no skew handling is needed beyond AQE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Representative row per distinct text (sha256 grouping,
+    min doc_id wins — deterministic)."""
+    w = Window.partitionBy("text_sha").orderBy("doc_id")
+    return (docs
+            .withColumn("text_sha", F.sha2(F.col(text_col), 256))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized document fingerprint: md5 over lowercased,
+    whitespace-collapsed text."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        "doc_id", F.md5(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# token / quality stats
+# ---------------------------------------------------------------------------
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count, char classes, quality ratio — all
+    codegen'd string ops."""
+    t = F.col(text_col)
+    tokens = F.split(F.trim(t), r"\s+")
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        n_chars.alias("n_chars_m"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_chars / F.greatest(F.size(tokens), F.lit(1)))
+        .alias("avg_token_len"))
+
+
+LEXICONS = {  # tiny deterministic "language" lexicons over the corpus vocab
+    "A": "data",
+    "B": "query",
+    "C": "join",
+}
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-lexicon language-ID heuristic: count hits of each
+    lexicon term, argmax with deterministic tie-break A > B > C.
+    (Real deployments plug in a trained model here; the operator shape
+    — pure column arithmetic, no shuffle — is the point.)"""
+    t = F.col(text_col)
+
+    def hits(term: str):
+        return ((F.length(t) - F.length(F.replace(t, F.lit(term))))
+                / F.lit(len(term))).cast("bigint")
+
+    a, b, c = (hits(LEXICONS[k]) for k in ("A", "B", "C"))
+    guess = (F.when((a >= b) & (a >= c), F.lit("A"))
+             .when(b >= c, F.lit("B"))
+             .otherwise(F.lit("C")))
+    return docs.select("doc_id", a.alias("hits_a"), b.alias("hits_b"),
+                       c.alias("hits_c"), guess.alias("lang_guess"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Word n-gram shingle array (distinct), built with JVM array ops."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", words[i], words[i + 1], words[i + 2]))
+    return F.when(F.size(words) >= n, F.array_distinct(sh)) \
+        .otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature.
+
+    Hash h_j(s) = first 8 hex chars of md5(s || '#' || j) as int —
+    portable to any engine with md5 (the DuckDB oracle restates it
+    verbatim). One explode + one groupBy(doc_id) shuffle.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(text_col)).alias("sh"))
+    aggs = [
+        F.min(F.conv(F.substring(
+            F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))), 1, 8),
+            16, 10).cast("bigint")).alias(f"h{j}")
+        for j in range(n_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
+                        band_size: int = 2) -> DataFrame:
+    """Near-dup candidate pairs: docs agreeing on at least one band.
+
+    bands = n_hashes / band_size; banding → equi-join on
+    (band_index, band_key); output distinct (doc_a < doc_b) pairs.
+    """
+    n_bands = n_hashes // band_size
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(":", *[F.col(f"h{b * band_size + i}")
+                                    for i in range(band_size)])
+                 .alias("key"))
+        for b in range(n_bands)])
+    exploded = (signatures
+                .select("doc_id", F.explode(bands).alias("bk"))
+                .select("doc_id", "bk.band", "bk.key"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.key") == F.col("r.key")) &
+                      (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs (verification stage
+    after LSH): join shingle sets, |∩| / |∪| via array ops."""
+    sh = docs.select(F.col("doc_id"),
+                     _shingles(text_col, n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (pairs.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b",
+                    (F.size(F.array_intersect("sh_a", "sh_b")) /
+                     F.size(F.array_union("sh_a", "sh_b")))
+                    .alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF kernel: bitwise majority vote)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Token hashes are md5-derived (stable everywhere); the per-doc
+    bit-majority fold is numpy inside an Arrow-batched pandas UDF —
+    the one part Spark SQL cannot express efficiently.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sim64(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in text.lower().split():
+                h = np.uint64(int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"))
+                bits = (h >> shifts) & np.uint64(1)
+                acc += np.where(bits == 1, 1, -1)
+            val = 0
+            for bit_idx in np.nonzero(acc > 0)[0]:
+                val |= 1 << int(bit_idx)
+            if val >= 1 << 63:  # two's-complement into int64
+                val -= 1 << 64
+            out[i] = val
+        return pd.Series(out)
+
+    return docs.select("doc_id", sim64(F.col(text_col)).alias("simhash64"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
+                       n_blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit chunks (a pair
+    within hamming distance 3 must agree on ≥1 of 4 chunks), verify
+    with bit_count — JVM-side popcount."""
+    chunks = F.array(*[
+        F.struct(F.lit(b).alias("blk"),
+                 F.shiftright(F.col("simhash64"), b * 16)
+                 .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+        for b in range(n_blocks)])
+    ex = sim.select("doc_id", "simhash64",
+                    F.explode(chunks).alias("c")) \
+        .select("doc_id", "simhash64", "c.blk", "c.key")
+    l, r = ex.alias("l"), ex.alias("r")
+    cand = (l.join(r, (F.col("l.blk") == F.col("r.blk")) &
+                   (F.col("l.key") == F.col("r.key")) &
+                   (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("l.simhash64").alias("sa"),
+                    F.col("r.simhash64").alias("sb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))

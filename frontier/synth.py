@@ -1,0 +1,229 @@
+"""Deterministic Common-Crawl-style page generator.
+
+Builds the canonical ``pages(url, warc_ts, html, text, lang)`` table
+(BASELINE.json ``input_hint``) from the driver's ``documents`` parquet
+so tests and benchmarks never need external data. Everything is a pure
+function of ``doc_id`` (blake2b-seeded) — same input → byte-identical
+pages at any parallelism.
+
+Layout of one page (FIXTURES.md §4 byte grammar):
+
+* archive header: ``From``, ``Snapshot-Content-Location: <url>``,
+  ``Content-Type: multipart/related; boundary="..."`` + blank lines
+* part 0: the main document — ``Content-Location`` == the archive's
+  ``Snapshot-Content-Location`` — encoded quoted-printable / base64 /
+  binary (cycled by doc_id)
+* parts 1..k: subresources whose ``Content-Location`` values are links
+  to OTHER pages' urls — these are what the crawl loop discovers
+* every ~19th page hides the main part at index 1 instead of 0, so per
+  reference semantics (extract_main.py:27-33 ``i > 0`` break) its
+  extracted text is NULL — exercised by the correctness oracle too
+
+Distribution intent at 100 TB: one page row is self-contained; the
+generator runs inside ``mapInArrow`` so page synthesis scales linearly
+with executors and never touches the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from frontier.kernel import decode
+
+EPOCH_2025_US = 1735689600 * 1_000_000  # 2025-01-01T00:00:00Z in micros
+NUM_HOSTS = 1000
+HOST_SKEW_EXP = 3.0  # u**3 → top host owns ~10% of urls (Zipf-ish)
+MAIN_DISPLACED_EVERY = 19  # doc_id % 19 == 0 → main part not first
+BOUNDARY = "----frontier-page-boundary----"
+
+
+def _h(doc_id: int, salt: str) -> int:
+    digest = hashlib.blake2b(f"{salt}:{doc_id}".encode(), digest_size=8)
+    return int.from_bytes(digest.digest(), "big")
+
+
+def host_index(doc_id: int) -> int:
+    u = (_h(doc_id, "host") % 1_000_000) / 1_000_000.0
+    return int(NUM_HOSTS * (u ** HOST_SKEW_EXP)) % NUM_HOSTS
+
+
+def url_for(doc_id: int) -> str:
+    host = f"host{host_index(doc_id):04d}.example"
+    depth = 1 + _h(doc_id, "depth") % 3
+    segs = "/".join(f"d{(_h(doc_id, 'seg%d' % i) % 97):02d}"
+                    for i in range(depth - 1))
+    path = f"/{segs}/page{doc_id}.html" if segs else f"/page{doc_id}.html"
+    # query-string condition is doc_id-arithmetic (not hashed) so the
+    # DuckDB oracle can restate it as ``doc_id % 10 = 7``
+    if doc_id % 10 == 7:
+        return f"https://{host}{path}?b=2&a=1"
+    return f"https://{host}{path}"
+
+
+def warc_ts_us(doc_id: int) -> int:
+    return EPOCH_2025_US + doc_id * 1_000_000 + (_h(doc_id, "jit") % 1000)
+
+
+def encoding_for(doc_id: int) -> str:
+    return ("quoted-printable", "base64", "binary")[doc_id % 3]
+
+
+def links_for(doc_id: int, n_docs: int) -> list[int]:
+    """Outbound links: deterministic fan-out of 0-3 other doc ids.
+
+    Pure integer arithmetic (no hashing) so the DuckDB oracle can
+    restate it: ``i in [0, doc_id % 4)``, target
+    ``(doc_id*131 + 7*i + 1) % n_docs``.
+    """
+    if n_docs <= 0:
+        return []
+    return [(doc_id * 131 + 7 * i + 1) % n_docs
+            for i in range(doc_id % 4)]
+
+
+def _encode_payload(payload: bytes, encoding: str) -> bytes:
+    if encoding == "quoted-printable":
+        return decode.encode_quoted_printable(payload)
+    if encoding == "base64":
+        return decode.encode_base64(payload)
+    return payload
+
+
+def _part(content_location: str, content_type: str, encoding: str,
+          payload: bytes) -> bytes:
+    return (
+        b"--" + BOUNDARY.encode() + b"\r\n"
+        + f"Content-Type: {content_type}\r\n".encode()
+        + f"Content-Transfer-Encoding: {encoding}\r\n".encode()
+        + f"Content-Location: {content_location}\r\n".encode()
+        + b"\r\n"
+        + _encode_payload(payload, encoding) + b"\r\n"
+    )
+
+
+def build_page(doc_id: int, text: str, lang: str, n_docs: int
+               ) -> tuple[str, int, bytes, str | None, str]:
+    """→ (url, warc_ts_us, html_bytes, expected_text, lang).
+
+    ``expected_text`` is the oracle for the engine's main-text
+    extraction: NULL when the main part is displaced off index 0.
+    """
+    url = url_for(doc_id)
+    encoding = encoding_for(doc_id)
+    payload = text.encode("utf-8")
+
+    main = _part(url, "text/html", encoding, payload)
+    subparts = []
+    for target in links_for(doc_id, n_docs):
+        blob = hashlib.blake2b(f"blob:{target}".encode(),
+                               digest_size=24).digest()
+        subparts.append(_part(url_for(target), "image/png", "base64", blob))
+
+    # displacement must be a pure function of doc_id so the DuckDB
+    # oracle can state it as CASE WHEN doc_id % 19 = 0 THEN NULL ...
+    displaced = doc_id % MAIN_DISPLACED_EVERY == 0
+    if displaced:
+        decoy = _part(url + "#decoy", "text/css", "binary", b"body{}")
+        parts = [decoy, main] + subparts
+    else:
+        parts = [main] + subparts
+
+    head = (
+        b"From: <Saved by frontier.synth>\r\n"
+        + f"Snapshot-Content-Location: {url}\r\n".encode()
+        + b"Content-Type: multipart/related;\r\n"
+        + b'\ttype="text/html";\r\n'
+        + f'\tboundary="{BOUNDARY}"\r\n'.encode()
+        + b"\r\n\r\n"
+    )
+    html = head + b"".join(parts) + b"--" + BOUNDARY.encode() + b"--\r\n"
+    expected_text = None if displaced else text
+    return url, warc_ts_us(doc_id), html, expected_text, lang
+
+
+# ---------------------------------------------------------------------------
+# Spark integration
+# ---------------------------------------------------------------------------
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+
+def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None):
+    """documents parquet → pages DataFrame, generated executor-side."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    if n_docs is None:
+        n_docs = docs.count()
+    total = n_docs
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            langs = batch.column("lang").to_pylist()
+            urls, tss, htmls, exp_texts, out_langs = [], [], [], [], []
+            for doc_id, text, lang in zip(doc_ids, texts, langs):
+                url, ts_us, html, exp, lng = build_page(
+                    doc_id, text or "", lang, total)
+                urls.append(url)
+                tss.append(ts_us)
+                htmls.append(html)
+                exp_texts.append(exp)
+                out_langs.append(lng)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(htmls, pa.binary()),
+                 pa.array(exp_texts, pa.string()),
+                 pa.array(out_langs, pa.string())],
+                names=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.mapInArrow(gen, PAGES_DDL)
+
+
+def seeds_from_documents(spark, sf_dir: str, every: int = 5,
+                         unknown_every: int = 20):
+    """Deterministic frontier seed list (FIXTURES.md §2): every
+    ``every``-th page's url + some URLs that resolve to no page,
+    with a deterministic priority and source_rank."""
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, prios, ranks = [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                if doc_id % every != 0:
+                    continue
+                if doc_id % (every * unknown_every) == 0:
+                    urls.append(f"https://unknown{doc_id}.example/missing")
+                else:
+                    urls.append(url_for(doc_id))
+                prios.append(_h(doc_id, "prio") % 3)
+                ranks.append(doc_id)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(prios, pa.int32()),
+                 pa.array(ranks, pa.int64())],
+                names=["url", "priority", "source_rank"])
+
+    return docs.mapInArrow(gen, "url string, priority int, source_rank bigint")
+
+
+def robots_df(spark, num_hosts: int = NUM_HOSTS):
+    """Per-host robots table (FIXTURES.md §3): ~10% of hosts disallow
+    a path prefix; crawl_delay deterministic per host."""
+    rows = []
+    for h in range(num_hosts):
+        host = f"host{h:04d}.example"
+        disallow = [f"/d{(_h(h, 'roboprefix') % 97):02d}"] \
+            if _h(h, "robo") % 10 == 0 else []
+        rows.append((host, disallow, int(_h(h, "delay") % 5) * 100))
+    return spark.createDataFrame(
+        rows, "host string, disallow_prefixes array<string>, "
+              "crawl_delay_ms int")

@@ -1,0 +1,126 @@
+"""Frontier crawl loop: Spark vs pure-Python simulator parity,
+snapshot resume, determinism."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier import synth
+from frontier.kernel import simulator, urlnorm
+from frontier.spark import crawl
+from frontier.spark.snapshots import SnapshotStore
+
+BUDGET = 3
+ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    pages = synth.pages_from_documents(spark, sf_dir).cache()
+    page_index = crawl.prepare_page_index(pages).cache()
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots = synth.robots_df(spark).cache()
+    page_index.count(), seeds.count(), robots.count()
+    return pages, page_index, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def sim_inputs(corpus):
+    pages, page_index, seeds, robots = corpus
+    pages_map = {}
+    for row in page_index.collect():
+        ts = int(row.warc_ts.timestamp() * 1_000_000)
+        pages_map[row.url_canon] = (ts, row.text, list(row.links))
+    seed_list = [(r.url, r.priority, 0) for r in
+                 seeds.orderBy("source_rank").collect()]
+    robots_map = {r.host: list(r.disallow_prefixes)
+                  for r in robots.collect() if r.disallow_prefixes}
+    return pages_map, seed_list, robots_map
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, corpus, tmp_path_factory):
+    _, page_index, seeds, robots = corpus
+    store = SnapshotStore(str(tmp_path_factory.mktemp("crawl")))
+    manifest = crawl.crawl(spark, page_index, seeds, robots, store,
+                           budget_per_host=BUDGET, max_rounds=ROUNDS,
+                           num_buckets=8)
+    return store, manifest
+
+
+@pytest.fixture(scope="module")
+def sim_run(sim_inputs):
+    pages_map, seed_list, robots_map = sim_inputs
+    return simulator.simulate(pages_map, seed_list, robots_map,
+                              budget_per_host=BUDGET, max_rounds=ROUNDS)
+
+
+def test_scheduled_sets_match_per_round(spark, spark_run, sim_run):
+    store, _ = spark_run
+    for sid in store.snapshot_ids():
+        batch = store.read(spark, "batch", sid)
+        got = sorted(r.url_canon for r in batch.collect())
+        assert got == sim_run.rounds[sid]["scheduled"], f"round {sid}"
+
+
+def test_per_host_visit_order_matches(spark, spark_run, sim_run):
+    store, _ = spark_run
+    for sid in store.snapshot_ids():
+        batch = store.read(spark, "batch", sid)
+        rows = batch.orderBy("host", "rank_in_host").collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r.host, []).append(r.url_canon)
+        want = {h: q for h, q in
+                sim_run.rounds[sid]["per_host_order"].items() if q}
+        assert got == want, f"round {sid}"
+
+
+def test_seen_set_membership_matches(spark, spark_run, sim_run):
+    store, _ = spark_run
+    seen = {r.url_canon for r in
+            store.read(spark, "seen_exact").collect()}
+    assert seen == sim_run.seen
+
+
+def test_extracted_texts_match(spark, spark_run, sim_run):
+    store, _ = spark_run
+    results = crawl.collect_results(spark, store)
+    got = {r.url_canon: r.text for r in results.collect()}
+    assert got == sim_run.fetched_texts
+
+
+def test_resume_reproduces_state(spark, corpus, spark_run,
+                                 tmp_path_factory):
+    _, page_index, seeds, robots = corpus
+    store_full, _ = spark_run
+    store2 = SnapshotStore(str(tmp_path_factory.mktemp("crawl_resume")))
+    crawl.crawl(spark, page_index, seeds, robots, store2,
+                budget_per_host=BUDGET, max_rounds=2, num_buckets=8)
+    assert store2.latest_id() == 1
+    crawl.crawl(spark, page_index, seeds, robots, store2,
+                budget_per_host=BUDGET, max_rounds=ROUNDS,
+                num_buckets=8, resume=True)
+    a = {r.url_canon for r in store_full.read(spark, "seen_exact").collect()}
+    b = {r.url_canon for r in store2.read(spark, "seen_exact").collect()}
+    assert a == b
+    fa = {(r.url_canon, r.priority) for r in
+          store_full.read(spark, "frontier").collect()}
+    fb = {(r.url_canon, r.priority) for r in
+          store2.read(spark, "frontier").collect()}
+    assert fa == fb
+
+
+def test_lineage_and_metrics_recorded(spark_run):
+    store, manifest = spark_run
+    assert manifest["metrics"]["scheduled"] > 0
+    assert "frontier" in manifest["lineage"]
+    assert manifest["lineage"]["seen_exact"]["n_rows"] > 0
+    assert manifest["parent_id"] == manifest["snapshot_id"] - 1
+
+
+def test_robots_blocked_never_fetched(spark, spark_run, corpus):
+    store, _ = spark_run
+    _, _, _, robots = corpus
+    blocked = store.read(spark, "blocked")
+    seen = store.read(spark, "seen_exact")
+    assert blocked.join(seen, "url_canon", "left_semi").count() == 0
