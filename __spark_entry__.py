@@ -214,7 +214,9 @@ def q_minhash_sig(spark, sf_dir):
 def q_lsh_pairs(spark, sf_dir):
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
-    sig = textops.minhash_signatures(docs, n_hashes=4)
+    # persist: both sides of the banding self-join need the signature
+    # relation — without it Spark recomputes the minhash agg twice
+    sig = textops.minhash_signatures(docs, n_hashes=4).persist()
     return textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
 
 
@@ -284,13 +286,13 @@ WITH words AS (
          ELSE [array_to_string(ws, ' ')] END AS shl
   FROM words
 ), ex AS (
-  SELECT doc_id, unnest(shl) AS s FROM sh
+  SELECT doc_id, md5(unnest(shl) || '#0') AS d FROM sh
 ), sig AS (
   SELECT doc_id,
-    MIN(CAST(concat('0x', substr(md5(s || '#0'),1,8)) AS BIGINT)) AS h0,
-    MIN(CAST(concat('0x', substr(md5(s || '#1'),1,8)) AS BIGINT)) AS h1,
-    MIN(CAST(concat('0x', substr(md5(s || '#2'),1,8)) AS BIGINT)) AS h2,
-    MIN(CAST(concat('0x', substr(md5(s || '#3'),1,8)) AS BIGINT)) AS h3
+    MIN(CAST(concat('0x', substr(d,  1, 8)) AS BIGINT)) AS h0,
+    MIN(CAST(concat('0x', substr(d,  9, 8)) AS BIGINT)) AS h1,
+    MIN(CAST(concat('0x', substr(d, 17, 8)) AS BIGINT)) AS h2,
+    MIN(CAST(concat('0x', substr(d, 25, 8)) AS BIGINT)) AS h3
   FROM ex GROUP BY doc_id
 )
 """

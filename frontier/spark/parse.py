@@ -49,6 +49,10 @@ ARCHIVE_DDL = (
 
 MAIN_TEXT_DDL = "url string, warc_ts timestamp, lang string, text string"
 
+MAIN_TEXT_CANON_DDL = (
+    "url string, warc_ts timestamp, lang string, text string, "
+    "url_canon string")
+
 LINKS_DDL = "src_url string, url string, content_type string"
 
 
@@ -167,20 +171,30 @@ def archive_headers(pages: DataFrame) -> DataFrame:
         .mapInArrow(head_only, ARCHIVE_DDL)
 
 
-def extract_main_text(pages: DataFrame) -> DataFrame:
+def extract_main_text(pages: DataFrame, with_canon: bool = False
+                      ) -> DataFrame:
     """Main-document text per page (S2 semantics, decoded).
 
     Selection is byte-faithful to the reference (part 0 must carry the
     archive's Snapshot-Content-Location, extract_main.py:27-33); the
     decode step is our engine's RFC 2045 implementation of the
     reference's TODO. One narrow map stage — no shuffle.
+
+    ``with_canon=True`` fuses URL canonicalization into the same
+    kernel, emitting ``url_canon`` too — saves a second Python stage
+    (JVM↔Arrow round-trip) in the schedule pipeline.
     """
     import pyarrow as pa
 
-    schema = pa.schema([
+    from frontier.kernel import urlnorm
+
+    fields = [
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()), ("text", pa.string()),
-    ])
+    ]
+    if with_canon:
+        fields.append(("url_canon", pa.string()))
+    schema = pa.schema(fields)
 
     def extract(batches: Iterator[pa.RecordBatch]
                 ) -> Iterator[pa.RecordBatch]:
@@ -188,6 +202,7 @@ def extract_main_text(pages: DataFrame) -> DataFrame:
             cols = {name: batch.column(name).to_pylist()
                     for name in ("url", "warc_ts", "lang", "html")}
             urls, tss, langs, texts = [], [], [], []
+            canons = []
             for url, ts, lang, html in zip(cols["url"], cols["warc_ts"],
                                            cols["lang"], cols["html"]):
                 text = None
@@ -209,14 +224,19 @@ def extract_main_text(pages: DataFrame) -> DataFrame:
                 tss.append(ts)
                 langs.append(lang)
                 texts.append(text)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(urls, pa.string()),
-                 pa.array(tss, pa.timestamp("us")),
-                 pa.array(langs, pa.string()),
-                 pa.array(texts, pa.string())], schema=schema)
+                if with_canon:
+                    canons.append(urlnorm.canonicalize(url))
+            arrays = [pa.array(urls, pa.string()),
+                      pa.array(tss, pa.timestamp("us")),
+                      pa.array(langs, pa.string()),
+                      pa.array(texts, pa.string())]
+            if with_canon:
+                arrays.append(pa.array(canons, pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return pages.select("url", "warc_ts", "lang", "html") \
-        .mapInArrow(extract, MAIN_TEXT_DDL)
+        .mapInArrow(extract,
+                    MAIN_TEXT_CANON_DDL if with_canon else MAIN_TEXT_DDL)
 
 
 def discovered_links(resources: DataFrame) -> DataFrame:

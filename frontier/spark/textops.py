@@ -98,14 +98,21 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _shingles(text_col: str, n: int = 3):
-    """Word n-gram shingle array (distinct), built with JVM array ops."""
+def _shingles(text_col: str, n: int = 3, distinct: bool = True):
+    """Word n-gram shingle array, built with JVM array ops.
+
+    ``distinct=False`` skips the array_distinct pass — safe for
+    min-aggregations (duplicates don't change a min) and measurably
+    cheaper; Jaccard needs the distinct set.
+    """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     sh = F.transform(
         idx, lambda i: F.concat_ws(
             " ", words[i], words[i + 1], words[i + 2]))
-    return F.when(F.size(words) >= n, F.array_distinct(sh)) \
+    if distinct:
+        sh = F.array_distinct(sh)
+    return F.when(F.size(words) >= n, sh) \
         .otherwise(F.array(F.concat_ws(" ", words)))
 
 
@@ -113,18 +120,39 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
                        text_col: str = "text") -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature.
 
-    Hash h_j(s) = first 8 hex chars of md5(s || '#' || j) as int —
-    portable to any engine with md5 (the DuckDB oracle restates it
-    verbatim). One explode + one groupBy(doc_id) shuffle.
+    One md5 digest yields FOUR 32-bit hash lanes (8 hex chars each);
+    lane j uses md5(s || '#' || j//4) sliced at (j%4)*8 — portable to
+    any engine with md5 (the DuckDB oracle restates it verbatim) and
+    4× cheaper than hashing per lane.
+
+    Entirely per-row (array_min over transform): NO explode, NO
+    shuffle — minhash of 100 TB of documents is a single narrow map
+    stage. Input is repartitioned only to spread few-file inputs
+    across cores.
     """
-    sh = docs.select("doc_id", F.explode(_shingles(text_col)).alias("sh"))
-    aggs = [
-        F.min(F.conv(F.substring(
-            F.md5(F.concat(F.col("sh"), F.lit(f"#{j}"))), 1, 8),
-            16, 10).cast("bigint")).alias(f"h{j}")
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    out = docs.repartition(parallelism, "doc_id") \
+        .select("doc_id", _shingles(text_col, distinct=False).alias("_sh"))
+
+    # NB: F.transform treats a 2-arg lambda as (element, index) — use
+    # closure factories, never default-arg captures, for loop vars
+    def digest_fn(block):
+        return lambda s: F.md5(F.concat(s, F.lit(f"#{block}")))
+
+    def lane_fn(lane):
+        return lambda d: F.conv(
+            F.substring(d, (lane % 4) * 8 + 1, 8), 16, 10).cast("bigint")
+
+    blocks = (n_hashes + 3) // 4
+    for b in range(blocks):
+        out = out.withColumn(
+            f"_d{b}", F.transform(F.col("_sh"), digest_fn(b)))
+    lanes = [
+        F.array_min(F.transform(F.col(f"_d{j // 4}"), lane_fn(j)))
+        .alias(f"h{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return out.select("doc_id", *lanes)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,

@@ -150,14 +150,33 @@ PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
              "text string, lang string")
 
 
-def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None):
-    """documents parquet → pages DataFrame, generated executor-side."""
+def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None,
+                         amplify: int = 1):
+    """documents parquet → pages DataFrame, generated executor-side.
+
+    ``amplify=K`` replicates the corpus K× with shifted doc_ids
+    (deterministic) — used by the bench to reach web-scale-ish page
+    counts from the small driver tables. Oracle queries always use
+    amplify=1.
+    """
+    from pyspark.sql import functions as F
+
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text", "lang")
     if n_docs is None:
         n_docs = docs.count()
+    if amplify > 1:
+        replicas = spark.range(amplify).withColumnRenamed("id", "replica")
+        docs = (docs.crossJoin(replicas)
+                .withColumn("doc_id",
+                            F.col("doc_id") +
+                            F.col("replica") * F.lit(n_docs))
+                .drop("replica")
+                .repartition(max(spark.sparkContext.defaultParallelism,
+                                 amplify)))
+        n_docs = n_docs * amplify
     total = n_docs
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
