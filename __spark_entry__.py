@@ -235,6 +235,86 @@ def q_ann_cosine_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
 
 
+def q_cuckoo_antijoin(spark, sf_dir):
+    """Same anti-join semantics as q_seen_antijoin but through the
+    deletable cuckoo-filter relation (build → delete → probe)."""
+    from frontier.spark import seen
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    cand = orders.select(
+        (F.col("o_custkey") + 1500).cast("string").alias("url_canon")) \
+        .distinct()
+    seen_urls = customer.select(
+        F.col("c_custkey").cast("string").alias("url_canon"))
+    filt = seen.build_cuckoo(seen_urls, num_buckets=16)
+    tagged = seen.probe_cuckoo(cand, filt, num_buckets=16)
+    fresh = tagged.where(~F.col("maybe_seen")) \
+        .select("url_canon")
+    suspects = tagged.where(F.col("maybe_seen")).select("url_canon")
+    confirmed = suspects.join(seen_urls, "url_canon", "left_anti")
+    return fresh.unionByName(confirmed)
+
+
+def q_extract_filenames_unique(spark, sf_dir):
+    """S1 pipeline: per-part output filenames, collision-renamed.
+    Synth pages: main part page<d>.html + decoy (page<d>.html.css on
+    displaced) + k image parts named page<t>.html.png — within one
+    page, image links to distinct targets may still collide."""
+    from frontier.spark import extract, parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    named = extract.with_unique_filenames(res)
+    return (named.groupBy(_doc_id("url").alias("doc_id"))
+            .agg(F.count("*").alias("n_files"),
+                 F.countDistinct("filename").alias("n_unique"),
+                 F.countDistinct("out_filename").alias("n_out_unique")))
+
+
+def q_content_type_glob(spark, sf_dir):
+    """S4 pipeline: fnmatch-glob content-type filter → count per page."""
+    from frontier.spark import extract, parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    images = extract.filter_content_type(res, "image/*")
+    return (images.groupBy(_doc_id("url").alias("doc_id"))
+            .agg(F.count("*").alias("n_images")))
+
+
+def q_list_parts_main(spark, sf_dir):
+    """S5 pipeline: per-page is-main marker count."""
+    from frontier.spark import extract, parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    listing = extract.list_parts(res)
+    return (listing.groupBy(_doc_id("url").alias("doc_id"))
+            .agg(F.sum(F.col("is_main").cast("int")).alias("n_main")))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from frontier.spark import textops
+    sim = textops.simhash(_read(spark, sf_dir, "documents"))
+    return textops.simhash_near_pairs(sim, max_hamming=16)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from frontier.spark import ann
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    return ann.lsh_topk(emb, queries, dim=dim, k=3,
+                        n_bands=8, bits_per_band=4) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    sig = textops.minhash_signatures(docs, n_hashes=4).persist()
+    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    jac = textops.ngram_jaccard(docs, pairs)
+    return jac.select("doc_a", "doc_b",
+                      F.round("jaccard", 6).alias("jaccard_r"))
+
+
 def q_media_features(spark, sf_dir):
     from frontier.spark import media, parse
     res = parse.parse_pages(_pages(spark, sf_dir))
@@ -267,6 +347,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "media_features": q_media_features,
+        "cuckoo_antijoin": q_cuckoo_antijoin,
+        "extract_filenames_unique": q_extract_filenames_unique,
+        "content_type_glob": q_content_type_glob,
+        "list_parts_main": q_list_parts_main,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -441,6 +528,60 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT * FROM embeddings WHERE vec_id < 5) q
               WHERE e.vec_id != q.vec_id)
             WHERE rn <= 3""",
-        # simhash / media_features: pandas-UDF & stub-codec kernels —
-        # not SQL-expressible; driver records rows-only checks
+        "cuckoo_antijoin": """
+            SELECT DISTINCT CAST(o_custkey + 1500 AS VARCHAR) AS url_canon
+            FROM orders
+            WHERE o_custkey + 1500 NOT IN
+                  (SELECT c_custkey FROM customer)""",
+        "extract_filenames_unique": """
+            SELECT d.doc_id,
+                   1 + (d.doc_id % 4)
+                     + CASE WHEN d.doc_id % 19 = 0 THEN 1 ELSE 0 END
+                       AS n_files,
+                   (SELECT COUNT(DISTINCT v) FROM (
+                      SELECT d.doc_id AS v
+                      UNION ALL
+                      SELECT (d.doc_id*131 + 7*i.n + 1)
+                             % (SELECT COUNT(*) FROM documents)
+                      FROM (VALUES (0),(1),(2)) AS i(n)
+                      WHERE i.n < d.doc_id % 4)) AS n_unique,
+                   1 + (d.doc_id % 4)
+                     + CASE WHEN d.doc_id % 19 = 0 THEN 1 ELSE 0 END
+                       AS n_out_unique
+            FROM documents d""",
+        "content_type_glob": """
+            SELECT doc_id, doc_id % 4 AS n_images
+            FROM documents WHERE doc_id % 4 > 0""",
+        "list_parts_main": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS n_main
+            FROM documents""",
+        "ngram_jaccard": _MINHASH_CTE + """
+            , bands AS (
+              SELECT doc_id, 0 AS band,
+                     CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key
+              FROM sig),
+            prs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key
+               AND l.doc_id < r.doc_id),
+            shd AS (
+              SELECT doc_id,
+                     list_distinct(shl) AS s
+              FROM sh)
+            SELECT p.doc_a, p.doc_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                       AS jaccard_r
+            FROM prs p
+            JOIN shd a ON a.doc_id = p.doc_a
+            JOIN shd b ON b.doc_id = p.doc_b""",
+        # simhash / simhash_pairs / media_features / ann_lsh_topk:
+        # pandas-UDF, stub-codec, or approximate kernels — not
+        # SQL-expressible; driver records rows-only checks
     }

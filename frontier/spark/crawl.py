@@ -101,12 +101,16 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         leftover = staged.select(*FRONTIER_COLS) \
             .join(batch.select("url_canon"), "url_canon", "left_anti")
 
-        # 3. fetch + parse (page_index lookup)
-        fetched = batch.join(
-            page_index.select("url_canon",
-                              F.col("warc_ts").alias("page_ts"),
-                              "text", "links"),
-            "url_canon", "left")
+        # 3. fetch + parse (page_index lookup). The scheduled batch is
+        # budget-bounded (hosts x budget) and slim — broadcast it onto
+        # the page index so page text/links never shuffle; URLs with
+        # no page simply don't match (inner join), and seen-marking
+        # uses `batch` directly so nothing is lost.
+        fetched = page_index.select("url_canon",
+                                    F.col("warc_ts").alias("page_ts"),
+                                    "text", "links") \
+            .join(F.broadcast(batch.select("url_canon", "priority")),
+                  "url_canon")
         results = fetched.where(F.col("text").isNotNull()) \
             .select("url_canon", "text",
                     F.lit(round_no).alias("round"))

@@ -152,6 +152,104 @@ def probe(candidates: DataFrame, seen_bloom: DataFrame,
             .applyInPandas(check, out_ddl))
 
 
+# ---------------------------------------------------------------------------
+# cuckoo variant — supports deletion (recrawl / retraction paths)
+# ---------------------------------------------------------------------------
+
+CUCKOO_DDL = "bucket int, table binary, n_keys bigint"
+
+
+def build_cuckoo(urls: DataFrame, url_col: str = "url_canon",
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+    """URLs → seen_cuckoo(bucket, table, n_keys): a deletable seen-set.
+
+    Same partitioned shape as the Bloom relation; per-bucket tables
+    built deterministically (sorted insert) so snapshot bytes are
+    stable at any parallelism.
+    """
+    from frontier.kernel import cuckoo as ck
+
+    hashed = with_hash_cols(urls.select(url_col).dropDuplicates([url_col]),
+                            url_col, num_buckets)
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        h1 = pdf["h1"].to_numpy().astype(np.uint64)
+        h2 = pdf["h2"].to_numpy().astype(np.uint64)
+        filt = ck.build_sorted(h1, h2, capacity=2 * len(pdf))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])],
+                             "table": [filt.to_bytes()],
+                             "n_keys": [len(pdf)]})
+
+    return hashed.groupBy("bucket").applyInPandas(make, CUCKOO_DDL)
+
+
+def probe_cuckoo(candidates: DataFrame, seen_cuckoo: DataFrame,
+                 url_col: str = "url_canon",
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+    """Tag candidates with ``maybe_seen`` against the cuckoo relation
+    (cogroup, same shape as :func:`probe`)."""
+    from frontier.kernel import cuckoo as ck
+
+    cand = with_hash_cols(candidates, url_col, num_buckets)
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in cand.schema.fields) + ", maybe_seen boolean"
+    cols = list(cand.columns)
+
+    def check(cand_pdf: pd.DataFrame, filt_pdf: pd.DataFrame
+              ) -> pd.DataFrame:
+        out = cand_pdf[cols].copy()
+        if cand_pdf.empty:
+            out["maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if filt_pdf.empty or filt_pdf["table"].iloc[0] is None:
+            out["maybe_seen"] = False
+            return out
+        filt = ck.CuckooFilter.from_bytes(filt_pdf["table"].iloc[0])
+        out["maybe_seen"] = filt.contains_many(
+            cand_pdf["h1"].to_numpy().astype(np.uint64),
+            cand_pdf["h2"].to_numpy().astype(np.uint64))
+        return out
+
+    return (cand.groupBy("bucket")
+            .cogroup(seen_cuckoo.groupBy("bucket"))
+            .applyInPandas(check, out_ddl))
+
+
+def cuckoo_delete(seen_cuckoo: DataFrame, urls: DataFrame,
+                  url_col: str = "url_canon",
+                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+    """Remove URLs from the cuckoo relation — the operation a Bloom
+    filter cannot do. Returns the updated relation."""
+    from frontier.kernel import cuckoo as ck
+
+    hashed = with_hash_cols(urls.select(url_col).dropDuplicates([url_col]),
+                            url_col, num_buckets)
+
+    def remove(filt_pdf: pd.DataFrame, del_pdf: pd.DataFrame
+               ) -> pd.DataFrame:
+        if filt_pdf.empty:
+            return pd.DataFrame(
+                {"bucket": pd.Series([], dtype="int32"),
+                 "table": pd.Series([], dtype=object),
+                 "n_keys": pd.Series([], dtype="int64")})
+        filt = ck.CuckooFilter.from_bytes(filt_pdf["table"].iloc[0])
+        removed = 0
+        if not del_pdf.empty:
+            order = del_pdf.sort_values(["h1", "h2"])
+            for h1, h2 in zip(order["h1"], order["h2"]):
+                removed += filt.delete(int(np.uint64(h1)),
+                                       int(np.uint64(h2)))
+        return pd.DataFrame({
+            "bucket": [int(filt_pdf["bucket"].iloc[0])],
+            "table": [filt.to_bytes()],
+            "n_keys": [int(filt_pdf["n_keys"].iloc[0]) - removed]})
+
+    return (seen_cuckoo.groupBy("bucket")
+            .cogroup(hashed.groupBy("bucket"))
+            .applyInPandas(remove, CUCKOO_DDL))
+
+
 def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
                   seen_exact: DataFrame | None = None,
                   url_col: str = "url_canon",

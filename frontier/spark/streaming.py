@@ -1,0 +1,112 @@
+"""Structured Streaming wrappers: incremental page ingestion.
+
+The reference is batch-only; the north_rule's crawl rounds are batch
+iterations with snapshot checkpoints (crawl.py). This module adds the
+streaming face of the same operators for continuous ingestion
+deployments: new page files land in a directory (or Kafka topic on a
+real cluster), main text + links flow out incrementally, with
+watermarked per-window crawl metrics and a stateful per-host rate
+limiter (``applyInPandasWithState``).
+
+``trigger(availableNow=True)`` gives exactly-once batch-incremental
+runs — the streaming analog of one crawl round — which is what the
+tests exercise (no always-on cluster in the sandbox).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .parse import MAIN_TEXT_CANON_DDL, extract_main_text
+
+PAGES_SCHEMA = ("url string, warc_ts timestamp, html binary, "
+                "text string, lang string")
+
+
+def stream_pages(spark: SparkSession, path: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """Directory parquet source of pages (file-arrival streaming)."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_extract(pages_stream: DataFrame) -> DataFrame:
+    """Incremental main-text extraction — the same Arrow kernel as the
+    batch path (stateless mapInArrow works unchanged on streams)."""
+    return extract_main_text(pages_stream, with_canon=True)
+
+
+def crawl_metrics(texts_stream: DataFrame,
+                  window: str = "10 minutes",
+                  watermark: str = "1 hour") -> DataFrame:
+    """Watermarked windowed crawl metrics: pages + extracted texts per
+    (event-time window, lang); late pages beyond the watermark drop."""
+    return (texts_stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+            .agg(F.count("*").alias("n_pages"),
+                 F.count("text").alias("n_texts"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "lang", "n_pages", "n_texts"))
+
+
+RATE_STATE_DDL = "served bigint"
+RATE_OUT_DDL = ("host string, n_requested bigint, n_allowed bigint, "
+                "served_total bigint")
+
+
+def rate_limited_hosts(texts_stream: DataFrame, budget_per_trigger: int,
+                       host_col: str = "url_canon") -> DataFrame:
+    """Stateful per-host politeness limiter: each host may serve at
+    most ``budget_per_trigger`` pages per trigger; the running served
+    count persists in GroupState across triggers.
+
+    The streaming twin of schedule.politeness_cut — custom state via
+    applyInPandasWithState (the reference has no analog; SURVEY.md
+    §2.7 'Streaming').
+    """
+    hosts = texts_stream.withColumn(
+        "host", F.regexp_extract(F.col(host_col),
+                                 r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+
+    def limiter(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        n_req = 0
+        for pdf in pdfs:
+            n_req += len(pdf)
+        allowed = min(n_req, budget_per_trigger)
+        total += allowed
+        state.update((total,))
+        yield pd.DataFrame({"host": [key[0]],
+                            "n_requested": [n_req],
+                            "n_allowed": [allowed],
+                            "served_total": [total]})
+
+    # "append" operator mode: each trigger's per-host row is final, and
+    # it keeps the query compatible with file sinks (parquet rejects
+    # update-mode streaming writes)
+    return (hosts.groupBy("host")
+            .applyInPandasWithState(limiter, RATE_OUT_DDL, RATE_STATE_DDL,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def run_available_now(df: DataFrame, out_path: str, checkpoint: str,
+                      output_mode: str = "append"):
+    """Run a streaming DF to parquet with availableNow (one
+    batch-incremental pass), blocking until done."""
+    query = (df.writeStream
+             .outputMode(output_mode)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", checkpoint)
+             .format("parquet")
+             .option("path", out_path)
+             .start())
+    query.awaitTermination()
+    return query

@@ -174,8 +174,9 @@ def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None,
                             F.col("doc_id") +
                             F.col("replica") * F.lit(n_docs))
                 .drop("replica")
-                .repartition(max(spark.sparkContext.defaultParallelism,
-                                 amplify)))
+                .repartition(min(512,
+                                 max(spark.sparkContext.defaultParallelism,
+                                     amplify))))
         n_docs = n_docs * amplify
     total = n_docs
 

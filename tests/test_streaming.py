@@ -1,0 +1,92 @@
+"""Structured Streaming face of the engine (availableNow triggers)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier import synth
+from frontier.spark import streaming
+
+
+@pytest.fixture(scope="module")
+def pages_dir(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_pages"))
+    synth.pages_from_documents(spark, sf_dir) \
+        .write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_stream_extract_matches_batch(spark, sf_dir, pages_dir,
+                                      tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    stream = streaming.stream_extract(
+        streaming.stream_pages(spark, pages_dir))
+    streaming.run_available_now(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = spark.read.parquet(pages_dir)
+    assert got.count() == batch.count()
+    joined = got.select("url", F.col("text").alias("stream_text")) \
+        .join(batch.select("url", "text"), "url")
+    mismatch = joined.where(
+        ~((F.col("stream_text") == F.col("text")) |
+          (F.col("stream_text").isNull() & F.col("text").isNull()))
+    ).count()
+    assert mismatch == 0
+
+
+def test_stream_incremental_second_batch(spark, sf_dir, pages_dir,
+                                         tmp_path_factory):
+    """availableNow is exactly-once: a second run with new files only
+    processes the new files."""
+    out = str(tmp_path_factory.mktemp("inc_out"))
+    ckpt = str(tmp_path_factory.mktemp("inc_ckpt"))
+    src = str(tmp_path_factory.mktemp("inc_src"))
+
+    batch = spark.read.parquet(pages_dir)
+    first = batch.limit(100)
+    first.write.mode("append").parquet(src)
+    stream = streaming.stream_extract(streaming.stream_pages(spark, src))
+    streaming.run_available_now(stream, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+
+    batch.limit(150).write.mode("append").parquet(src)
+    stream = streaming.stream_extract(streaming.stream_pages(spark, src))
+    streaming.run_available_now(stream, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == 100
+    assert n2 == 250  # 100 + 150 appended rows, no reprocessing dups
+
+
+def test_crawl_metrics_watermark(spark, sf_dir, pages_dir,
+                                 tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("met_out"))
+    ckpt = str(tmp_path_factory.mktemp("met_ckpt"))
+    # append-mode windows only emit once the watermark passes them in a
+    # LATER micro-batch — so force several batches (maxFilesPerTrigger)
+    # and keep the watermark shorter than the corpus' event-time span
+    stream = streaming.crawl_metrics(
+        streaming.stream_extract(
+            streaming.stream_pages(spark, pages_dir,
+                                   max_files_per_trigger=2)),
+        window="1 minute", watermark="2 minutes")
+    streaming.run_available_now(stream, out, ckpt, output_mode="append")
+    got = spark.read.parquet(out)
+    # 500 pages spread over ~500s → ~9 one-minute windows × langs
+    assert got.count() > 0
+    assert got.agg(F.sum("n_pages")).first()[0] > 0
+
+
+def test_rate_limited_hosts_state(spark, sf_dir, pages_dir,
+                                  tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("rate_out"))
+    ckpt = str(tmp_path_factory.mktemp("rate_ckpt"))
+    stream = streaming.rate_limited_hosts(
+        streaming.stream_extract(streaming.stream_pages(spark, pages_dir)),
+        budget_per_trigger=5)
+    streaming.run_available_now(stream, out, ckpt, output_mode="append")
+    got = spark.read.parquet(out)
+    assert got.where(F.col("n_allowed") > 5).count() == 0
+    assert got.where(F.col("n_requested") > F.col("n_allowed")).count() > 0

@@ -1,0 +1,106 @@
+"""Text-analysis / dedup operator semantics (small deterministic
+corpora; DuckDB-oracle equivalence is covered by tools/check_oracles
+and the driver's gate — these tests pin the operator semantics)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier.spark import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup
+        (3, "completely different text about spark engines", "en"),
+        (4, "  the   quick  brown fox jumps over the lazy dog  ", "en"),
+        (5, "data data data query", "xx"),
+        (6, "join join query", "xx"),
+        (7, "a b", "xx"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "lang string")
+
+
+def test_exact_dedup_keeps_min_doc_id(docs):
+    reps = textops.exact_dedup(docs)
+    ids = {r.doc_id for r in reps.collect()}
+    assert 0 in ids and 1 not in ids  # 1 is a dup of 0
+    assert {2, 3, 4, 5, 6, 7} <= ids  # whitespace variant 4 is distinct
+
+
+def test_fingerprint_collapses_whitespace(docs):
+    fp = {r.doc_id: r.fingerprint for r in
+          textops.fingerprint(docs).collect()}
+    assert fp[0] == fp[4]  # same text modulo whitespace
+    assert fp[0] != fp[2]
+
+
+def test_token_stats(docs):
+    stats = {r.doc_id: r for r in textops.token_stats(docs).collect()}
+    assert stats[0].n_tokens == 9
+    assert stats[7].n_tokens == 2
+    assert 0 < stats[0].alpha_ratio < 1
+
+
+def test_lang_guess_deterministic_argmax(docs):
+    out = {r.doc_id: r for r in textops.lang_guess(docs).collect()}
+    assert out[5].hits_a == 3 and out[5].lang_guess == "A"
+    assert out[6].hits_c == 2 and out[6].lang_guess == "C"
+    # tie (zero everywhere) resolves to A
+    assert out[7].lang_guess == "A"
+
+
+def test_minhash_identical_docs_identical_sig(docs):
+    sig = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in
+           textops.minhash_signatures(docs, n_hashes=4).collect()}
+    assert sig[0] == sig[1]
+    # near-dup shares most lanes, different doc shares few
+    shared_near = sum(a == b for a, b in zip(sig[0], sig[2]))
+    shared_far = sum(a == b for a, b in zip(sig[0], sig[3]))
+    assert shared_near >= shared_far
+    assert len(sig) == 8  # short doc 7 still gets a signature
+
+
+def test_lsh_pairs_and_jaccard(docs):
+    sig = textops.minhash_signatures(docs, n_hashes=4).persist()
+    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dups always collide
+    jac = textops.ngram_jaccard(docs, pairs)
+    jmap = {(r.doc_a, r.doc_b): r.jaccard for r in jac.collect()}
+    assert jmap[(0, 1)] == 1.0
+
+
+def test_simhash_hamming_properties(docs):
+    sim = textops.simhash(docs)
+    vals = {r.doc_id: r.simhash64 for r in sim.collect()}
+    assert vals[0] == vals[1]
+    pairs = textops.simhash_near_pairs(sim, max_hamming=16)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    if (0, 2) in got:  # near-dup, small distance when blocked together
+        assert got[(0, 2)] <= 16
+
+
+def test_simhash_matches_pure_python(docs):
+    import hashlib
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    vals = {r.doc_id: r.simhash64 for r in
+            textops.simhash(docs).collect()}
+    for doc_id, text in rows.items():
+        acc = [0] * 64
+        for tok in text.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "big")
+            for i in range(64):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        want = 0
+        for i in range(64):
+            if acc[i] > 0:
+                want |= 1 << i
+        if want >= 1 << 63:
+            want -= 1 << 64
+        assert vals[doc_id] == want, doc_id
