@@ -315,6 +315,52 @@ def q_ngram_jaccard(spark, sf_dir):
                       F.round("jaccard", 6).alias("jaccard_r"))
 
 
+def q_header_get(spark, sf_dir):
+    """H1/H2 as relational ops over the exploded headers array: pull
+    Content-Location out of the multimap column and count header
+    lines per part — oracle restates both from the generator rules."""
+    from frontier.spark import parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    main = res.where(F.col("content_type") == "text/html")
+    return main.select(
+        _doc_id("url").alias("doc_id"),
+        (parse.header_get(F.col("headers"), "cOntent-Location")
+         == F.col("url")).alias("loc_matches"),
+        F.size(parse.header_get_all(F.col("headers"),
+                                    "Content-Type")).alias("n_ct"),
+        F.size("headers").alias("n_headers"))
+
+
+def q_events_daily(spark, sf_dir):
+    """Date functions: per-day event counts + value sums (cents)."""
+    events = _read(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                 .alias("value_c")))
+
+
+def q_text_sha(spark, sf_dir):
+    """Content-hash op (C4, mhtml.py:440-452 → sha2 builtin): sha256
+    of every extracted main text, byte-parity checkable because the
+    oracle hashes the source documents directly."""
+    from frontier.spark import parse
+    mt = parse.extract_main_text(_pages(spark, sf_dir))
+    return (mt.where(F.col("text").isNotNull())
+            .select(_doc_id("url").alias("doc_id"),
+                    F.sha2(F.col("text"), 256).alias("text_sha")))
+
+
+def q_crawl_rollup(spark, sf_dir):
+    """Crawl-metrics report with ROLLUP (SURVEY.md §2.7 grouping
+    sets): page counts by (lang, source) with subtotals."""
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
 def q_media_features(spark, sf_dir):
     from frontier.spark import media, parse
     res = parse.parse_pages(_pages(spark, sf_dir))
@@ -354,6 +400,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "text_sha": q_text_sha,
+        "crawl_rollup": q_crawl_rollup,
+        "header_get": q_header_get,
+        "events_daily": q_events_daily,
     }
 
 
@@ -581,6 +631,22 @@ def oracle_sql() -> dict[str, str]:
             FROM prs p
             JOIN shd a ON a.doc_id = p.doc_a
             JOIN shd b ON b.doc_id = p.doc_b""",
+        "text_sha": """
+            SELECT doc_id, sha256(text) AS text_sha
+            FROM documents WHERE doc_id % 19 != 0""",
+        "header_get": """
+            SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
+                   3 AS n_headers
+            FROM documents""",
+        "events_daily": """
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
+                       AS value_c
+            FROM events GROUP BY 1""",
+        "crawl_rollup": """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP (lang, source)""",
         # simhash / simhash_pairs / media_features / ann_lsh_topk:
         # pandas-UDF, stub-codec, or approximate kernels — not
         # SQL-expressible; driver records rows-only checks

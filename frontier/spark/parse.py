@@ -127,6 +127,23 @@ def _resources_arrow_schema():
     ])
 
 
+def header_get(headers_col, name: str):
+    """H1 as a Spark column expression: first case-insensitive match
+    from the ``headers`` array<struct<name,value>> column
+    (mhtml.py:301-310). Pure Catalyst — filter + element_at."""
+    matches = F.filter(
+        headers_col, lambda h: F.lower(h["name"]) == name.lower())
+    return F.when(F.size(matches) > 0, matches[0]["value"])
+
+
+def header_get_all(headers_col, name: str):
+    """H2: every case-insensitive match, in order (mhtml.py:312-328)."""
+    return F.transform(
+        F.filter(headers_col,
+                 lambda h: F.lower(h["name"]) == name.lower()),
+        lambda h: h["value"])
+
+
 def archive_headers(pages: DataFrame) -> DataFrame:
     """Header-only projection: the kernel stops before part splitting,
     so the Python cost per page is O(header), not O(document)."""
