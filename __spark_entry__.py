@@ -311,8 +311,11 @@ def q_ngram_jaccard(spark, sf_dir):
     sig = textops.minhash_signatures(docs, n_hashes=4).persist()
     pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
     jac = textops.ngram_jaccard(docs, pairs)
+    # floor, not round: Spark rounds HALF_UP, DuckDB HALF_EVEN — exact
+    # binary ties (e.g. jaccard = k/128) would hash-mismatch
     return jac.select("doc_a", "doc_b",
-                      F.round("jaccard", 6).alias("jaccard_r"))
+                      F.floor(F.col("jaccard") * 1_000_000)
+                      .cast("bigint").alias("jaccard_u"))
 
 
 def q_header_get(spark, sf_dir):
@@ -625,9 +628,9 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(shl) AS s
               FROM sh)
             SELECT p.doc_a, p.doc_b,
-                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.s, b.s))), 6)
-                       AS jaccard_r
+                   CAST(floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s)))
+                         * 1000000) AS BIGINT) AS jaccard_u
             FROM prs p
             JOIN shd a ON a.doc_id = p.doc_a
             JOIN shd b ON b.doc_id = p.doc_b""",
