@@ -25,6 +25,22 @@ def test_pages_deterministic(spark, sf_dir, pages):
     assert a == b
 
 
+def test_extract_deterministic_across_parallelism(pages):
+    """SURVEY §5.3 #4: byte-identical text column at any partitioning."""
+    def digest(df):
+        return (parse.extract_main_text(df)
+                .where(F.col("text").isNotNull())
+                .select(F.sha2(F.concat_ws("|", "url", "text"), 256)
+                        .alias("h"))
+                .agg(F.count("*").alias("n"),
+                     F.sum(F.conv(F.substring("h", 1, 12), 16, 10)
+                           .cast("decimal(38,0)")).alias("s"))
+                .first())
+    one = digest(pages.repartition(1))
+    many = digest(pages.repartition(8))
+    assert (one.n, one.s) == (many.n, many.s)
+
+
 def test_extract_main_text_matches_oracle_column(pages):
     mt = parse.extract_main_text(pages)
     joined = mt.alias("m").join(
