@@ -52,13 +52,22 @@ def decode_base64(raw: bytes) -> bytes:
 
 
 def decode_payload(raw: bytes, encoding: str | None,
-                   strict: bool = False) -> bytes | None:
+                   strict: bool = False,
+                   default_7bit: bool = False) -> bytes | None:
     """Decode one part payload according to its transfer encoding.
 
     ``strict=True`` reproduces the reference's behavior exactly
     (base64/qp → None, mhtml.py:477-482); the default actually decodes.
     Unknown encodings → None in both modes (mhtml.py:484-487).
+
+    ``default_7bit=True``: a part with NO Content-Transfer-Encoding
+    header at all decodes as 7bit (RFC 2045 §6.1 default) instead of
+    None — real crawled MHTML frequently omits the header, and parity
+    mode would silently drop that text. An unrecognized non-empty
+    encoding value still decodes to None in every mode.
     """
+    if encoding is None and default_7bit:
+        return raw
     enc = ContentEncoding.parse(encoding)
     if enc in _PASSTHROUGH:
         return raw

@@ -103,10 +103,14 @@ class ResourceHeader:
         return default
 
     def get_all(self, name, default=None):
+        # no matches → caller's default, [] when none given (mhtml.py:312-328)
+        if default is None:
+            default = []
         if name is None:
-            return default if default is not None else []
+            return default
         want = str(name).lower()
-        return [v for k, v in self._pairs if k.lower() == want]
+        found = [v for k, v in self._pairs if k.lower() == want]
+        return found if found else default
 
     def __getitem__(self, name):
         return self.get(name)
@@ -156,8 +160,10 @@ class ResourceHeader:
 
     @property
     def location(self):
+        # truthiness, not is-not-None: an EMPTY Snapshot-Content-Location
+        # value falls back to Content-Location (mhtml.py:257-262)
         loc = self.get("Snapshot-Content-Location")
-        if loc is not None:
+        if loc:
             return loc
         return self.get("Content-Location")
 
@@ -210,9 +216,16 @@ def next_line(content, from_pos):
         return content[from_pos:], -1
     if after == len(content):
         return content[from_pos:], -1
-    # unfold: a TAB right after CRLF continues the logical line
+    # unfold: a TAB right after CRLF continues the logical line.
+    # Bounded: a buffer ending in CRLF+TAB with no further CRLF would
+    # otherwise hang (after == -1 → content[-1] loop) or index past EOF
+    # — both reachable from adversarial crawled bytes. The reference
+    # itself crashes/hangs on such input, so stopping here only changes
+    # behavior where the reference has none (valid-input parity kept).
     while content[after] == TAB:
         after = find_next_linebreak(content, after)
+        if after == -1 or after >= len(content):
+            return content[from_pos:], -1
     return content[from_pos:after], after
 
 

@@ -38,7 +38,14 @@ def canonicalize(url: str | None) -> str | None:
     host = (parts.hostname or "").lower()
     if not host:
         return None
-    port = parts.port
+    # urlsplit defers port validation to the .port accessor: a crawled
+    # link like http://h:notaport/ or :99999 raises ValueError HERE,
+    # not at urlsplit time. One malformed link must never kill a Spark
+    # task (SURVEY.md §2.8), so treat an invalid port as un-canonical.
+    try:
+        port = parts.port
+    except ValueError:
+        return None
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
         netloc = f"{host}:{port}"

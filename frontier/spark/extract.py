@@ -72,10 +72,14 @@ def extract_all(resources: DataFrame) -> DataFrame:
 
 def list_parts(resources: DataFrame) -> DataFrame:
     """S5 listing: part inventory with the main-document marker
-    (Content-Location == archive Snapshot-Content-Location and
-    part_index == 0 — the reference's extract_main rule)."""
+    (Content-Location == the archive's Snapshot-Content-Location and
+    part_index == 0 — the reference's extract_main rule,
+    extract_main.py:26-30). Compared against the ``snapshot_location``
+    column the parse kernel carries from the archive header, NOT the
+    crawl url — real captures frequently disagree between the two."""
     return resources.select(
         "url", "part_index", "content_type", "content_location",
         "encoding", "offset_start", "offset_content", "offset_end",
         ((F.col("part_index") == 0) &
-         (F.col("content_location") == F.col("url"))).alias("is_main"))
+         (F.col("content_location") ==
+          F.col("snapshot_location"))).alias("is_main"))

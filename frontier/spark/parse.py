@@ -32,7 +32,8 @@ from frontier.kernel import decode as kdecode
 from frontier.kernel import mime
 
 RESOURCES_DDL = (
-    "url string, warc_ts timestamp, lang string, part_index int, "
+    "url string, warc_ts timestamp, lang string, "
+    "snapshot_location string, part_index int, "
     "headers array<struct<name:string,value:string>>, "
     "content_type string, content_location string, location string, "
     "encoding string, "
@@ -80,10 +81,15 @@ def parse_pages(pages: DataFrame, with_content: bool = True,
                                            cols["lang"], cols["html"]):
                 try:
                     headers, parts = mime.parse_mhtml(html)
-                except (AssertionError, UnicodeDecodeError):
-                    continue  # malformed page: skip, never fail the task
+                except Exception:
+                    # broad by design: adversarial crawled bytes can
+                    # raise beyond Assertion/UnicodeDecode (IndexError
+                    # on a TAB-fold at EOF, etc.) — one malformed page
+                    # must never fail the task (SURVEY.md §2.8)
+                    continue
                 if parts is None:
                     continue
+                snap_loc = headers.get("Snapshot-Content-Location")
                 for idx, (phdr, start, cstart, end) in enumerate(parts):
                     raw = html[cstart:end] if cstart != -1 else b""
                     if decode:
@@ -92,6 +98,7 @@ def parse_pages(pages: DataFrame, with_content: bool = True,
                     rows["url"].append(url)
                     rows["warc_ts"].append(ts)
                     rows["lang"].append(lang)
+                    rows["snapshot_location"].append(snap_loc)
                     rows["part_index"].append(idx)
                     rows["headers"].append(_header_pairs(phdr))
                     rows["content_type"].append(phdr.content_type)
@@ -118,7 +125,8 @@ def _resources_arrow_schema():
     hdr = pa.list_(pa.struct([("name", pa.string()), ("value", pa.string())]))
     return pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
-        ("lang", pa.string()), ("part_index", pa.int32()),
+        ("lang", pa.string()), ("snapshot_location", pa.string()),
+        ("part_index", pa.int32()),
         ("headers", hdr), ("content_type", pa.string()),
         ("content_location", pa.string()), ("location", pa.string()),
         ("encoding", pa.string()), ("offset_start", pa.int64()),
@@ -169,8 +177,8 @@ def archive_headers(pages: DataFrame) -> DataFrame:
                                            cols["lang"], cols["html"]):
                 try:
                     arc = mime.parse_mhtml_struct(html, only_header=True)
-                except (AssertionError, UnicodeDecodeError):
-                    continue
+                except Exception:
+                    continue  # malformed page: skip, never fail the task
                 rows["url"].append(url)
                 rows["warc_ts"].append(ts)
                 rows["lang"].append(lang)
@@ -188,8 +196,8 @@ def archive_headers(pages: DataFrame) -> DataFrame:
         .mapInArrow(head_only, ARCHIVE_DDL)
 
 
-def extract_main_text(pages: DataFrame, with_canon: bool = False
-                      ) -> DataFrame:
+def extract_main_text(pages: DataFrame, with_canon: bool = False,
+                      default_7bit: bool = False) -> DataFrame:
     """Main-document text per page (S2 semantics, decoded).
 
     Selection is byte-faithful to the reference (part 0 must carry the
@@ -200,6 +208,11 @@ def extract_main_text(pages: DataFrame, with_canon: bool = False
     ``with_canon=True`` fuses URL canonicalization into the same
     kernel, emitting ``url_canon`` too — saves a second Python stage
     (JVM↔Arrow round-trip) in the schedule pipeline.
+
+    ``default_7bit=True`` treats a MISSING Content-Transfer-Encoding
+    header as 7bit per RFC 2045 §6.1 (real crawled MHTML frequently
+    omits it); default off for reference parity (mhtml.py:484-487
+    decodes such parts to None).
     """
     import pyarrow as pa
 
@@ -231,12 +244,13 @@ def extract_main_text(pages: DataFrame, with_canon: bool = False
                             phdr, _, cstart, end = part
                             raw = html[cstart:end] if cstart != -1 else b""
                             decoded = kdecode.decode_payload(
-                                mime.strip_part_terminator(raw), phdr.encoding)
+                                mime.strip_part_terminator(raw),
+                                phdr.encoding, default_7bit=default_7bit)
                             if decoded is not None:
                                 text = decoded.decode("utf-8",
                                                       errors="replace")
-                except (AssertionError, UnicodeDecodeError):
-                    text = None
+                except Exception:
+                    text = None  # malformed page: null text, task survives
                 urls.append(url)
                 tss.append(ts)
                 langs.append(lang)
@@ -254,6 +268,86 @@ def extract_main_text(pages: DataFrame, with_canon: bool = False
     return pages.select("url", "warc_ts", "lang", "html") \
         .mapInArrow(extract,
                     MAIN_TEXT_CANON_DDL if with_canon else MAIN_TEXT_DDL)
+
+
+PAGE_INDEX_DDL = ("url string, url_canon string, warc_ts timestamp, "
+                  "text string, links array<string>, parse_error string")
+
+
+def page_index_arrow(pages: DataFrame,
+                     default_7bit: bool = False) -> DataFrame:
+    """Fused crawl-side kernel: ONE parse per page emitting
+    ``(url, url_canon, warc_ts, text, links, parse_error)``.
+
+    Replaces the old two-pass ``extract_main_text`` + ``parse_pages``
+    page-index preparation (each re-parsed every page's bytes) — the
+    crawl loop's parse cost is halved, and link collection needs no
+    groupBy shuffle because links are gathered per page in-kernel.
+
+    ``parse_error`` is NULL for well-formed pages and carries the
+    exception repr otherwise (SURVEY.md §2.8: malformed pages become
+    null columns + counted errors, never silent drops or task
+    failures). The reference warns on every malformed input
+    (mhtml.py:560,749); at crawl scale the counted-error relation is
+    the equivalent diagnosable signal.
+    """
+    import pyarrow as pa
+
+    from frontier.kernel import urlnorm
+
+    schema = pa.schema([
+        ("url", pa.string()), ("url_canon", pa.string()),
+        ("warc_ts", pa.timestamp("us")), ("text", pa.string()),
+        ("links", pa.list_(pa.string())), ("parse_error", pa.string()),
+    ])
+
+    def kernel(batches: Iterator[pa.RecordBatch]
+               ) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            cols = {name: batch.column(name).to_pylist()
+                    for name in ("url", "warc_ts", "html")}
+            urls, canons, tss = [], [], []
+            texts, links_out, errs = [], [], []
+            for url, ts, html in zip(cols["url"], cols["warc_ts"],
+                                     cols["html"]):
+                text, links, err = None, [], None
+                try:
+                    headers, parts = mime.parse_mhtml(html)
+                    if parts:
+                        main = mime.select_main_part(headers, parts)
+                        if main is not None:
+                            mhdr, _, mstart, mend = main
+                            raw = (html[mstart:mend]
+                                   if mstart != -1 else b"")
+                            dec = kdecode.decode_payload(
+                                mime.strip_part_terminator(raw),
+                                mhdr.encoding, default_7bit=default_7bit)
+                            if dec is not None:
+                                text = dec.decode("utf-8",
+                                                  errors="replace")
+                        for phdr, _, _, _ in parts[1:]:
+                            loc = phdr.get("Content-Location")
+                            if loc is not None:
+                                links.append(loc)
+                except Exception as exc:  # §2.8: count, never fail task
+                    text, links, err = None, [], repr(exc)
+                urls.append(url)
+                canons.append(urlnorm.canonicalize(url))
+                tss.append(ts)
+                texts.append(text)
+                links_out.append(links)
+                errs.append(err)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(canons, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(texts, pa.string()),
+                 pa.array(links_out, pa.list_(pa.string())),
+                 pa.array(errs, pa.string())],
+                schema=schema)
+
+    return pages.select("url", "warc_ts", "html") \
+        .mapInArrow(kernel, PAGE_INDEX_DDL)
 
 
 def discovered_links(resources: DataFrame) -> DataFrame:
@@ -277,7 +371,8 @@ def main_text_sql(resources: DataFrame) -> DataFrame:
     path: part 0, content_location == archive snapshot location."""
     return (resources
             .where((F.col("part_index") == 0) &
-                   (F.col("content_location") == F.col("url")))
+                   (F.col("content_location") ==
+                    F.col("snapshot_location")))
             .select("url", "warc_ts", "lang", "content"))
 
 

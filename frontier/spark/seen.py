@@ -70,8 +70,12 @@ def build(urls: DataFrame, url_col: str = "url_canon",
     """URLs → seen_bloom(bucket, bloom, n_keys), one row per bucket."""
     if bits_per_bucket is None:
         bits_per_bucket = expected_keys_per_bucket * DEFAULT_BITS_PER_KEY
-    m_bits = int(bits_per_bucket)
-    m_bytes = (m_bits + 7) // 8
+    # probe() recovers m_bits as len(blob)*8, so build must take
+    # positions modulo a multiple of 8 — otherwise the two moduli
+    # disagree and the filter gains FALSE NEGATIVES (seen URLs
+    # re-entering the frontier), breaking the pre-filter contract.
+    m_bytes = (int(bits_per_bucket) + 7) // 8
+    m_bits = m_bytes * 8
 
     hashed = with_hash_cols(urls.select(url_col).dropDuplicates([url_col]),
                             url_col, num_buckets)

@@ -1,0 +1,136 @@
+"""Adversarial crawled-bytes robustness (SURVEY.md §2.8): one
+malformed page must never kill a task, hang an executor, or be
+silently indistinguishable from an empty page.
+
+The reference itself crashes or hangs on these inputs, so handling
+them changes nothing on valid-input parity (verified: the parity
+suite runs the same kernels over well-formed fixtures).
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from frontier.kernel import mime
+
+
+def test_next_line_tab_fold_at_eof_no_indexerror():
+    # CRLF ends exactly at EOF after a TAB continuation: previously
+    # IndexError in the unfold loop (content[after] past the end)
+    line, pos = mime.next_line(b"A: B\r\n\tX\r\n", 0)
+    assert pos == -1
+    assert line.startswith(b"A: B")
+
+
+def test_next_line_trailing_crlf_tab_terminates():
+    # buffer ending in CRLF+TAB with no further CRLF: previously an
+    # infinite loop (find_next_linebreak returns -1, content[-1] == ?)
+    line, pos = mime.next_line(b"A: B\r\n\t", 0)
+    assert pos == -1
+
+
+def test_parse_header_malformed_raises_not_hangs():
+    with pytest.raises(Exception):
+        mime.parse_header(b"A: B\r\n\tX\r\n", 0)  # no empty-line terminator
+
+
+CORRUPT_PAGES = [
+    b"",                       # empty
+    b"\xff\xfe\x00garbage",    # binary junk
+    b"A: B\r\n\tX\r\n",        # TAB fold at EOF (IndexError in kernel)
+    b"A: B\r\n\t",             # unfold non-termination shape
+    b"From: x\r\n\r\n\r\n",    # headers but no multipart boundary
+]
+
+
+@pytest.fixture(scope="module")
+def corrupt_df(spark):
+    rows = [(f"https://bad.example/p{i}.html", i * 1_000_000, blob)
+            for i, blob in enumerate(CORRUPT_PAGES)]
+    df = spark.createDataFrame(rows, "url string, ts bigint, html binary")
+    return df.select("url", F.timestamp_micros("ts").alias("warc_ts"),
+                     F.lit("en").alias("lang"), "html")
+
+
+def test_parse_pages_survives_corrupt_pages(corrupt_df):
+    from frontier.spark import parse
+    # must not raise; corrupt pages are skipped (resources empty)
+    assert parse.parse_pages(corrupt_df).count() == 0
+    # header-only projection: pages whose header block raises are
+    # skipped; the empty page and the headers-no-boundary page parse
+    # to (empty) header structs and are legitimately emitted
+    assert parse.archive_headers(corrupt_df).count() == 2
+
+
+def test_extract_main_text_nulls_corrupt_pages(corrupt_df):
+    from frontier.spark import parse
+    rows = parse.extract_main_text(corrupt_df).collect()
+    assert len(rows) == len(CORRUPT_PAGES)  # one row per page, kept
+    assert all(r.text is None for r in rows)
+
+
+def test_page_index_counts_parse_errors(spark, corrupt_df):
+    """§2.8 contract: malformed pages become counted errors, not
+    silent drops — the crawl metrics sink aggregates parse_error."""
+    from frontier import synth
+    from frontier.spark import parse
+
+    good = synth.pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .limit(5)
+    mixed = good.select("url", "warc_ts", "html") \
+        .unionByName(corrupt_df.select("url", "warc_ts", "html"))
+    idx = parse.page_index_arrow(mixed)
+    rows = idx.collect()
+    assert len(rows) == 5 + len(CORRUPT_PAGES)
+    n_err = sum(1 for r in rows if r.parse_error is not None)
+    # the empty page and junk pages that raise inside parse_mhtml are
+    # counted; pages that parse to no parts have parse_error NULL but
+    # text NULL (distinguishable: no exception, just no main part)
+    assert n_err >= 1
+    for r in rows:
+        if r.parse_error is not None:
+            assert r.text is None and list(r.links) == []
+
+
+def test_location_empty_snapshot_falls_back():
+    hdr = mime.ResourceHeader()
+    hdr["Snapshot-Content-Location"] = ""
+    hdr["Content-Location"] = "https://real.example/x"
+    assert hdr.location == "https://real.example/x"  # truthiness rule
+
+
+def test_get_all_returns_caller_default():
+    hdr = mime.ResourceHeader()
+    hdr["A"] = "1"
+    assert hdr.get_all("missing") == []
+    assert hdr.get_all("missing", ["fallback"]) == ["fallback"]
+    assert hdr.get_all(None, ["d"]) == ["d"]
+    assert hdr.get_all("A", ["d"]) == ["1"]
+
+
+def test_is_main_uses_snapshot_location_not_url(spark):
+    """A capture whose crawl url differs from the archive's
+    Snapshot-Content-Location must still mark the main part
+    (reference rule: extract_main.py:26-30 compares the header)."""
+    from frontier.spark import extract, parse
+
+    snap = "https://original.example/page.html"
+    boundary = "b"
+    html = (
+        b"From: <x>\r\n"
+        + f"Snapshot-Content-Location: {snap}\r\n".encode()
+        + f'Content-Type: multipart/related;\r\n\tboundary="{boundary}"\r\n'
+        .encode()
+        + b"\r\n\r\n"
+        + b"--b\r\nContent-Type: text/html\r\n"
+        + b"Content-Transfer-Encoding: binary\r\n"
+        + f"Content-Location: {snap}\r\n\r\nhello\r\n".encode()
+        + b"--b--\r\n")
+    df = spark.createDataFrame(
+        [("https://mirror.example/copy.html", 0, "en", html)],
+        "url string, ts bigint, lang string, html binary") \
+        .select("url", F.timestamp_micros("ts").alias("warc_ts"),
+                "lang", "html")
+    res = parse.parse_pages(df)
+    listing = extract.list_parts(res).collect()
+    assert len(listing) == 1
+    assert listing[0].is_main  # url != snapshot_location, still main

@@ -28,6 +28,14 @@ def test_invalid_inputs():
     assert host_of("nope") is None
 
 
+def test_invalid_ports_do_not_raise():
+    # urlsplit defers port validation to .port — a crawler-discovered
+    # link with a junk port must canonicalize to None, not ValueError
+    assert canonicalize("http://host:notaport/") is None
+    assert canonicalize("http://h:99999/") is None
+    assert canonicalize("http://h:-1/x") is None
+
+
 def test_idempotent():
     for url in ("HTTP://A.B:80/x/../y?z=1&a=2#f",
                 "https://h.co:8443/deep/path?q=1"):
