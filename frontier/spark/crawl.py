@@ -7,63 +7,91 @@ Batch-iterative BFS with per-round Iceberg-style snapshot commits
 2. politeness budget — skew-safe per-host top-k (schedule.py)
 3. "fetch" — in the sandbox a join against the synthetic ``pages``
    table on ``url_canon`` (on a real cluster this stage is the HTTP
-   fetcher); parse + main-text extraction is the Arrow kernel
+   fetcher); parse + main-text extraction is the fused Arrow kernel
+   (parse.page_index_arrow — ONE pass per page)
 4. discovery — outbound links, canonicalized, priority = parent+1,
    merged min-(priority, warc_ts) per new URL (deterministic at any
    parallelism; mirrored by frontier.kernel.simulator)
-5. seen-set update — partitioned Bloom ∪ batch, exact table appended
+5. seen-set update — partitioned Bloom ∪ batch, exact table appended;
+   Bloom saturation is tracked per round and the filter is REBUILT
+   from the exact relation (at doubled width) when the estimated FPP
+   exceeds ``target_fpp`` — without this, fixed-width merges degrade
+   silently as keys accumulate
 6. snapshot commit — frontier / seen / bloom / results + metrics;
    ``resume=True`` restarts from the latest manifest and produces
    identical final state
 
+Driver-side serial work is deliberately minimal (the N→4N scaling
+obstacle found in round 1): exactly ONE pre-commit Spark action per
+round (materializing the persisted scheduled batch, which doubles as
+the empty-check and the ``scheduled`` metric). Every other metric
+comes from parquet footers of the committed tables (driver-side
+pyarrow metadata, zero jobs) or ``df.observe`` riding the commit
+writes. Round-1 shape — 2× isEmpty + 4 eager counts + per-table
+read-back counts, each recomputing the politeness window chain —
+cost ~6 recomputations of the round lineage per round.
+
 Scale notes: every per-round shuffle keys on url_canon or host; the
-pages join is a sort-merge join on url_canon at 10^10 rows (both sides
-bucketable by the same key in a real deployment); results append,
-never rewrite. Plan-lineage truncation comes free from the per-round
-parquet checkpoint — without it the iterative plan would grow
-unboundedly.
+budget-bounded batch is broadcast onto the page index so page bytes
+never shuffle (switch to the bucketed co-partitioned join for 10^8+
+batches — see fetch_mode). Results append, never rewrite.
+Plan-lineage truncation comes free from the per-round parquet
+checkpoint — without it the iterative plan would grow unboundedly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import math
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import schedule as sched
 from . import seen as seenmod
-from .parse import extract_main_text, parse_pages, discovered_links
+from .parse import page_index_arrow
 from .snapshots import SnapshotStore
 
 FRONTIER_COLS = ["url_canon", "priority", "warc_ts"]
 
+DEFAULT_TARGET_FPP = 0.02
+
 
 def prepare_page_index(pages: DataFrame) -> DataFrame:
-    """pages → fetch-lookup index: url_canon, warc_ts, text, links.
-
-    One parse pass (two kernels share the scan); cached by caller.
-    """
-    text_df = sched.with_url_canon(extract_main_text(pages)) \
-        .select("url_canon", "warc_ts", "text")
-    res = parse_pages(pages, with_content=False)
-    links_df = (discovered_links(res)
-                .groupBy("src_url")
-                .agg(F.collect_list("url").alias("links")))
-    links_df = sched.with_url_canon(links_df, "src_url") \
-        .select("url_canon", "links")
-    return (text_df.join(links_df, "url_canon", "left")
-            .withColumn("links", F.coalesce("links", F.array()))
+    """pages → fetch-lookup index: url_canon, warc_ts, text, links,
+    parse_error — ONE fused kernel pass (parse + main-text decode +
+    link collection + canonicalization per page, no groupBy shuffle).
+    Cached by the caller."""
+    return (page_index_arrow(pages)
             .dropDuplicates(["url_canon"]))
+
+
+def _estimate_fpp(n_keys: int, m_bits: int,
+                  k: int = seenmod.DEFAULT_K) -> float:
+    """Classic Bloom FPP estimate (1 - e^{-kn/m})^k for the fullest
+    bucket — the bound that matters, since one saturated bucket
+    poisons its share of the keyspace."""
+    if not m_bits:
+        return 1.0
+    return (1.0 - math.exp(-k * n_keys / m_bits)) ** k
 
 
 def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
           robots: DataFrame | None, store: SnapshotStore,
           budget_per_host: int = 10, max_rounds: int = 5,
           num_buckets: int = seenmod.DEFAULT_NUM_BUCKETS,
-          resume: bool = False) -> dict:
+          resume: bool = False,
+          bloom_bits_per_bucket: int | None = None,
+          target_fpp: float = DEFAULT_TARGET_FPP) -> dict:
     """Run (or resume) a crawl; returns the final manifest dict.
 
     seeds: (url, priority, source_rank) — source_rank breaks dup-seed
     ties first-wins, mirroring merge.py:30-44.
     """
+    if bloom_bits_per_bucket is None:
+        bloom_bits_per_bucket = (seenmod.DEFAULT_BITS_PER_KEY
+                                 * 200_000)
+    bloom_bits = int(bloom_bits_per_bucket)
+    rebuild_bloom = False
+
     latest = store.manifest() if resume else None
     if latest is not None:
         frontier = store.read(spark, "frontier")
@@ -71,20 +99,24 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         seen_bloom = store.read(spark, "seen_bloom")
         blocked = store.read(spark, "blocked")
         start_round = latest["metrics"]["round"] + 1
+        have_bloom = True
+        # recover saturation state from the manifest (resume contract)
+        bloom_bits = int(latest["metrics"].get("bloom_m_bits",
+                                               bloom_bits))
+        rebuild_bloom = bool(latest["metrics"].get("bloom_rebuild_next",
+                                                   False))
     else:
         frontier = _seed_frontier(seeds)
         seen_exact = spark.createDataFrame([], "url_canon string")
         seen_bloom = spark.createDataFrame([], seenmod.BLOOM_DDL)
         blocked = spark.createDataFrame([], "url_canon string")
         start_round = 0
+        have_bloom = False
 
     for round_no in range(start_round, max_rounds):
-        if frontier.isEmpty():
-            break
-
         staged = sched.with_host(frontier)
 
-        # 1. robots gate
+        # 1. robots gate — blocked URLs leave the frontier permanently
         if robots is not None:
             staged = sched.apply_robots(staged, robots)
             newly_blocked = staged.where(~F.col("robots_allowed")) \
@@ -93,10 +125,16 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
             blocked = blocked.unionByName(newly_blocked) \
                 .dropDuplicates(["url_canon"])
 
-        # 2. politeness budget (skew-safe two-phase top-k)
+        # 2. politeness budget (skew-safe two-phase top-k). Persisted:
+        # the batch feeds the fetch join, the leftover anti-join, the
+        # seen update AND the bloom build — without persist each
+        # consumer recomputes the window chain. Its count is the ONE
+        # pre-commit action per round (empty-check + metric in one).
         batch = sched.politeness_cut(staged, budget_per_host) \
-            .select(*FRONTIER_COLS, "host", "rank_in_host")
-        if batch.isEmpty():
+            .select(*FRONTIER_COLS, "host", "rank_in_host").persist()
+        n_scheduled = batch.count()
+        if n_scheduled == 0:
+            batch.unpersist()
             break
         leftover = staged.select(*FRONTIER_COLS) \
             .join(batch.select("url_canon"), "url_canon", "left_anti")
@@ -105,12 +143,13 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         # budget-bounded (hosts x budget) and slim — broadcast it onto
         # the page index so page text/links never shuffle; URLs with
         # no page simply don't match (inner join), and seen-marking
-        # uses `batch` directly so nothing is lost.
+        # uses `batch` directly so nothing is lost. Persisted: feeds
+        # both the results write and link discovery.
         fetched = page_index.select("url_canon",
                                     F.col("warc_ts").alias("page_ts"),
                                     "text", "links") \
             .join(F.broadcast(batch.select("url_canon", "priority")),
-                  "url_canon")
+                  "url_canon").persist()
         results = fetched.where(F.col("text").isNotNull()) \
             .select("url_canon", "text",
                     F.lit(round_no).alias("round"))
@@ -128,29 +167,69 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                           F.col("page_ts").alias("warc_ts"))).alias("o"))
                       .select("url_canon", "o.priority", "o.warc_ts"))
 
-        # 5. seen update + unseen filter
+        # 5. seen update + unseen filter. When the previous round
+        # estimated the Bloom past target_fpp, REBUILD from the exact
+        # relation at doubled width instead of merging (merging
+        # different widths is meaningless — positions use different
+        # moduli).
         new_seen = seen_exact.unionByName(batch.select("url_canon")) \
             .dropDuplicates(["url_canon"])
-        batch_bloom = seenmod.build(batch.select("url_canon"),
-                                    num_buckets=num_buckets)
-        new_bloom = seenmod.merge_blooms(seen_bloom, batch_bloom) \
-            if not seen_bloom.isEmpty() else batch_bloom
+        if rebuild_bloom:
+            bloom_bits *= 2
+            new_bloom = seenmod.build(new_seen, num_buckets=num_buckets,
+                                      bits_per_bucket=bloom_bits)
+            rebuild_bloom = False
+        else:
+            batch_bloom = seenmod.build(batch.select("url_canon"),
+                                        num_buckets=num_buckets,
+                                        bits_per_bucket=bloom_bits)
+            new_bloom = seenmod.merge_blooms(seen_bloom, batch_bloom) \
+                if have_bloom else batch_bloom
 
         fresh = seenmod.filter_unseen(candidates, new_bloom, new_seen,
                                       num_buckets=num_buckets)
         fresh = fresh.join(blocked, "url_canon", "left_anti") \
             .join(leftover.select("url_canon"), "url_canon", "left_anti")
 
-        new_frontier = leftover.unionByName(fresh.select(*FRONTIER_COLS))
+        # 6. snapshot commit (also truncates plan lineage). Metrics
+        # ride the commit: discovered_new via df.observe on the
+        # frontier write, bloom saturation via observe on the bloom
+        # write, row counts from the committed parquet footers —
+        # ZERO additional Spark jobs.
+        fresh_obs = Observation(f"fresh-r{round_no}")
+        flagged = (leftover.withColumn("_fresh", F.lit(False))
+                   .unionByName(fresh.select(*FRONTIER_COLS)
+                                .withColumn("_fresh", F.lit(True))))
+        new_frontier = flagged.observe(
+            fresh_obs,
+            F.sum(F.col("_fresh").cast("long")).alias("n_fresh")
+        ).drop("_fresh")
 
-        # 6. snapshot commit (also truncates plan lineage)
+        bloom_obs = Observation(f"bloom-r{round_no}")
+        new_bloom = new_bloom.observe(
+            bloom_obs,
+            F.max("n_keys").alias("max_keys"),
+            F.max(F.length("bloom")).alias("m_bytes"))
+
+        def bloom_metrics(_lineage, _obs=bloom_obs):
+            got = _obs.get
+            n = int(got["max_keys"] or 0)
+            m_bits = int(got["m_bytes"] or 0) * 8
+            fpp = _estimate_fpp(n, m_bits)
+            return {"bloom_max_keys_per_bucket": n,
+                    "bloom_m_bits": m_bits,
+                    "bloom_est_fpp": round(fpp, 6),
+                    "bloom_rebuild_next": fpp > target_fpp}
+
         metrics = {
             "round": round_no,
-            "scheduled": batch.count(),
-            "extracted_texts": results.count(),
-            "discovered_new": fresh.count(),
-            "frontier_size": new_frontier.count(),
+            "scheduled": n_scheduled,
+            "extracted_texts": lambda L: L["results"]["n_rows"],
+            "discovered_new":
+                lambda L, _o=fresh_obs: int(_o.get["n_fresh"] or 0),
+            "frontier_size": lambda L: L["frontier"]["n_rows"],
             "budget_per_host": budget_per_host,
+            "_bloom": bloom_metrics,
         }
         store.commit({
             "frontier": new_frontier,
@@ -160,11 +239,17 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
             "batch": batch,
             "results": results,
         }, metrics)
+        batch.unpersist()
+        fetched.unpersist()
+
+        rebuild_bloom = bool(
+            store.manifest()["metrics"].get("bloom_rebuild_next", False))
 
         frontier = store.read(spark, "frontier")
         seen_exact = store.read(spark, "seen_exact")
         seen_bloom = store.read(spark, "seen_bloom")
         blocked = store.read(spark, "blocked")
+        have_bloom = True
 
     return store.manifest() or {}
 
@@ -182,6 +267,27 @@ def _seed_frontier(seeds: DataFrame) -> DataFrame:
             .where(F.col("_rn") == 1)
             .select("url_canon", "priority",
                     F.timestamp_micros(F.lit(0)).alias("warc_ts")))
+
+
+def commit_parse_errors(store: SnapshotStore,
+                        page_index: DataFrame) -> int:
+    """§2.8 error contract: persist the malformed-page relation
+    (url, parse_error), one row per malformed page — the count rides
+    the manifest lineage (parquet footers), and the per-file
+    ``file_rows`` map IS the per-partition error counter.
+
+    Written to a SIDECAR store under ``<root>/parse_errors`` so crawl
+    snapshot ids stay 1:1 with rounds (resume + time-travel reads are
+    keyed on that). Returns the malformed-page count."""
+    import os
+
+    sidecar = SnapshotStore(os.path.join(store.root, "parse_errors"))
+    errors = page_index.where(F.col("parse_error").isNotNull()) \
+        .select("url", "parse_error")
+    snap_id = sidecar.commit(
+        {"parse_errors": errors},
+        {"parse_errors": lambda L: L["parse_errors"]["n_rows"]})
+    return sidecar.manifest(snap_id)["metrics"]["parse_errors"]
 
 
 def collect_results(spark: SparkSession, store: SnapshotStore) -> DataFrame:

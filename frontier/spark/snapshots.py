@@ -62,6 +62,19 @@ class SnapshotStore:
     # -- commit ----------------------------------------------------------
     def commit(self, tables: dict[str, DataFrame],
                metrics: dict[str, Any] | None = None) -> int:
+        """Write tables + manifest. Per-file row counts come from the
+        parquet FOOTERS (pyarrow metadata, driver-side, zero Spark
+        jobs) — the old read-back ``.count()`` per table recomputed
+        nothing but cost one full job each, the dominant serial driver
+        work in the crawl loop.
+
+        ``metrics`` values may be callables: resolved as
+        ``fn(lineage)`` after the writes, so callers can derive
+        metrics (row counts, observation results) from the committed
+        state without any pre-commit Spark actions.
+        """
+        import pyarrow.parquet as pq
+
         parent = self.latest_id()
         snap_id = 0 if parent is None else parent + 1
         lineage: dict[str, Any] = {}
@@ -71,18 +84,30 @@ class SnapshotStore:
             df.write.mode("overwrite").parquet(path)
             files = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet"))
+            # per-partition lineage: one (file, n_rows) pair per task
+            per_file = {
+                f: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in files}
             lineage[name] = {
                 "n_files": len(files),
                 "files": files,
-                "n_rows": df.sparkSession.read.parquet(path).count(),
+                "file_rows": per_file,
+                "n_rows": sum(per_file.values()),
             }
             table_paths[name] = path
+        resolved: dict[str, Any] = {}
+        for key, val in (metrics or {}).items():
+            out = val(lineage) if callable(val) else val
+            if key.startswith("_") and isinstance(out, dict):
+                resolved.update(out)  # grouped metrics flatten in place
+            else:
+                resolved[key] = out
         manifest = {
             "snapshot_id": snap_id,
             "parent_id": parent,
             "tables": table_paths,
             "lineage": lineage,
-            "metrics": metrics or {},
+            "metrics": resolved,
             "wall_ts": time.time(),
         }
         tmp = self._manifest_path(snap_id) + ".tmp"

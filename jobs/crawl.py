@@ -45,6 +45,7 @@ def main():
     robots = synth.robots_df(spark)
     store = SnapshotStore(args.out)
 
+    n_parse_errors = crawl.commit_parse_errors(store, page_index)
     manifest = crawl.crawl(spark, page_index, seeds, robots, store,
                            budget_per_host=args.budget,
                            max_rounds=args.rounds,
@@ -61,6 +62,8 @@ def main():
         "frontier": manifest.get("lineage", {}).get("frontier", {})
         .get("n_rows"),
         "extracted_texts": n_texts,
+        "parse_errors": n_parse_errors,
+        "bloom_est_fpp": manifest.get("metrics", {}).get("bloom_est_fpp"),
         "wall_sec": round(elapsed, 2),
     }))
     spark.stop()

@@ -91,6 +91,31 @@ def test_page_index_counts_parse_errors(spark, corrupt_df):
             assert r.text is None and list(r.links) == []
 
 
+def test_parse_errors_sink(spark, corrupt_df, tmp_path):
+    """The error relation is committed with per-partition (per-file)
+    row counts in the manifest — malformed pages are counted in the
+    metrics sink, never silently dropped (SURVEY.md §2.8)."""
+    from frontier import synth
+    from frontier.spark import crawl, parse
+    from frontier.spark.snapshots import SnapshotStore
+
+    good = synth.pages_from_documents(spark, "/root/testdata/sf0.001") \
+        .limit(5)
+    mixed = good.select("url", "warc_ts", "html") \
+        .unionByName(corrupt_df.select("url", "warc_ts", "html"))
+    idx = parse.page_index_arrow(mixed)
+    store = SnapshotStore(str(tmp_path / "state"))
+    n_errors = crawl.commit_parse_errors(store, idx)
+    assert n_errors >= 1
+    sidecar = SnapshotStore(str(tmp_path / "state" / "parse_errors"))
+    man = sidecar.manifest()
+    lin = man["lineage"]["parse_errors"]
+    assert sum(lin["file_rows"].values()) == n_errors  # per-partition
+    rows = sidecar.read(spark, "parse_errors").collect()
+    assert all(r.parse_error for r in rows)
+    assert len(rows) == n_errors
+
+
 def test_location_empty_snapshot_falls_back():
     hdr = mime.ResourceHeader()
     hdr["Snapshot-Content-Location"] = ""

@@ -124,3 +124,62 @@ def test_robots_blocked_never_fetched(spark, spark_run, corpus):
     blocked = store.read(spark, "blocked")
     seen = store.read(spark, "seen_exact")
     assert blocked.join(seen, "url_canon", "left_semi").count() == 0
+
+
+def test_bloom_saturation_guard_in_crawl(spark, corpus, sim_run,
+                                         tmp_path_factory):
+    """A deliberately tiny Bloom (64 bits/bucket) saturates in round
+    0; the guard must flag it, rebuild wider next round, and NEVER
+    affect correctness (the exact confirm guarantees that)."""
+    _, page_index, seeds, robots = corpus
+    store = SnapshotStore(str(tmp_path_factory.mktemp("crawl_tiny")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=BUDGET, max_rounds=ROUNDS, num_buckets=8,
+                bloom_bits_per_bucket=64, target_fpp=0.02)
+    seen = {r.url_canon for r in store.read(spark, "seen_exact").collect()}
+    assert seen == sim_run.seen  # byte-identical membership, tiny bloom
+    mans = [store.manifest(sid) for sid in store.snapshot_ids()]
+    assert any(m["metrics"]["bloom_rebuild_next"] for m in mans[:-1])
+    for prev, nxt in zip(mans, mans[1:]):
+        if prev["metrics"]["bloom_rebuild_next"]:
+            assert (nxt["metrics"]["bloom_m_bits"]
+                    > prev["metrics"]["bloom_m_bits"])
+    assert mans[-1]["metrics"]["bloom_est_fpp"] \
+        < mans[0]["metrics"]["bloom_est_fpp"]
+
+
+def test_bloom_fpp_bounded_over_rounds(spark):
+    """VERDICT r1 #8: fixed-width merges degrade FPP silently. With
+    the estimate + rebuild protocol the per-round FPP stays under
+    target across 12 accumulation rounds, and the filter keeps its
+    no-false-negative contract after every rebuild."""
+    from frontier.spark import seen as seenmod
+    from frontier.spark.crawl import _estimate_fpp
+
+    target, bits, n_buckets = 0.05, 256, 4
+    all_urls, bloom = None, None
+
+    def stats(b):
+        row = b.agg(F.max("n_keys").alias("n"),
+                    F.max(F.length("bloom")).alias("by")).first()
+        return int(row.n), int(row.by) * 8
+
+    for rnd in range(12):
+        urls = spark.range(rnd * 300, (rnd + 1) * 300).select(
+            F.concat(F.lit("https://h.example/"),
+                     F.col("id").cast("string")).alias("url_canon"))
+        all_urls = urls if all_urls is None \
+            else all_urls.unionByName(urls)
+        inc = seenmod.build(urls, num_buckets=n_buckets,
+                            bits_per_bucket=bits)
+        bloom = inc if bloom is None else seenmod.merge_blooms(bloom, inc)
+        n, m = stats(bloom)
+        while _estimate_fpp(n, m) > target:  # guard: rebuild wider
+            bits *= 2
+            bloom = seenmod.build(all_urls, num_buckets=n_buckets,
+                                  bits_per_bucket=bits)
+            n, m = stats(bloom)
+        assert _estimate_fpp(n, m) <= target, f"round {rnd}"
+    assert bits > 256  # saturation actually forced rebuilds
+    tagged = seenmod.probe(all_urls, bloom, num_buckets=n_buckets)
+    assert tagged.where(~F.col("maybe_seen")).count() == 0  # no FNs
