@@ -296,7 +296,12 @@ def q_simhash_pairs(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # dim from the parquet file itself (one-row pyarrow read on the
+    # driver — no Spark job; round 1 drove a .first() action here)
+    import pyarrow.dataset as ds
+    batch = next(ds.dataset(f"{sf_dir}/embeddings.parquet")
+                 .to_batches(columns=["embedding"], batch_size=1))
+    dim = len(batch.column(0)[0])
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"))
@@ -365,11 +370,14 @@ def q_crawl_rollup(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal path: decode transfer-encoding → media filter →
+    codec featurize. The (stub) codec reads blob bytes, so the parts
+    must be decoded (base64) first — decode=True in the parse."""
     from frontier.spark import media, parse
-    res = parse.parse_pages(_pages(spark, sf_dir))
+    res = parse.parse_pages(_pages(spark, sf_dir), decode=True)
     feats = media.extract_features(media.media_resources(res))
     return feats.select(_doc_id("url").alias("doc_id"), "part_index",
-                        "media_kind", "width", "height")
+                        "media_kind", "width", "height", "n_frames")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -434,6 +442,38 @@ WITH words AS (
     MIN(CAST(concat('0x', substr(d, 17, 8)) AS BIGINT)) AS h2,
     MIN(CAST(concat('0x', substr(d, 25, 8)) AS BIGINT)) AS h3
   FROM ex GROUP BY doc_id
+)
+"""
+
+
+_SIMHASH_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), lanes AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS lo
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo >> j
+                         ELSE hi >> (j - 32) END) & 1) = 1
+             THEN 1 ELSE -1 END) AS acc
+  FROM lanes, generate_series(0, 63) AS g(j)
+  GROUP BY doc_id, j
+), vals AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN
+              CASE WHEN j = 63 THEN -9223372036854775808
+                   ELSE (CAST(1 AS BIGINT) << j) END
+              ELSE 0 END) AS BIGINT) AS simhash64
+  FROM bits GROUP BY doc_id
+), sim AS (
+  SELECT d.doc_id, COALESCE(v.simhash64, 0) AS simhash64
+  FROM documents d LEFT JOIN vals v USING (doc_id)
 )
 """
 
@@ -555,6 +595,21 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'C' END AS lang_guess
             FROM documents""",
         "minhash_sig": _MINHASH_CTE + "SELECT * FROM sig",
+        "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash64 FROM sim",
+        "simhash_pairs": _SIMHASH_CTE + """
+            , chunks AS (
+              SELECT doc_id, simhash64, b AS blk,
+                     (simhash64 >> (b * 16)) & 65535 AS key
+              FROM sim, generate_series(0, 3) AS g(b)),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                     l.simhash64 AS sa, r.simhash64 AS sb
+              FROM chunks l JOIN chunks r
+                ON l.blk = r.blk AND l.key = r.key
+               AND l.doc_id < r.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 16""",
         "lsh_pairs": _MINHASH_CTE + """
             , bands AS (
               SELECT doc_id, 0 AS band,
@@ -581,6 +636,50 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT * FROM embeddings WHERE vec_id < 5) q
               WHERE e.vec_id != q.vec_id)
             WHERE rn <= 3""",
+        "ann_lsh_topk": """
+            WITH elems AS (
+              SELECT vec_id,
+                     UNNEST(embedding) AS x,
+                     UNNEST(generate_series(1, len(embedding))) AS i
+              FROM embeddings
+            ), comp AS (
+              SELECT e.vec_id, b.band, t.bit,
+                     SUM(CAST(e.x AS DOUBLE) *
+                         CASE WHEN (CAST(concat('0x', substr(md5(
+                                'hp:' || b.band || ':' || t.bit || ':'
+                                || (e.i - 1)), 1, 2)) AS INTEGER)
+                                & 1) = 1
+                              THEN CAST(1.0 AS DOUBLE)
+                              ELSE CAST(-1.0 AS DOUBLE) END) AS dot
+              FROM elems e,
+                   generate_series(0, 7) b(band),
+                   generate_series(0, 3) t(bit)
+              GROUP BY e.vec_id, b.band, t.bit
+            ), keys AS (
+              SELECT vec_id, band,
+                     CAST(SUM(CASE WHEN dot >= 0 THEN (1 << bit)
+                              ELSE 0 END) AS INTEGER) AS key
+              FROM comp GROUP BY vec_id, band
+            ), cand AS (
+              SELECT DISTINCT q.vec_id AS query_id,
+                     e.vec_id AS neighbor_id
+              FROM keys e JOIN keys q
+                ON e.band = q.band AND e.key = q.key
+              WHERE q.vec_id < 5 AND e.vec_id != q.vec_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           q.embedding::DOUBLE[]) DESC,
+                         c.neighbor_id ASC) AS rn
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.neighbor_id
+              JOIN embeddings q ON q.vec_id = c.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+            FROM scored WHERE rn <= 3""",
         "cuckoo_antijoin": """
             SELECT DISTINCT CAST(o_custkey + 1500 AS VARCHAR) AS url_canon
             FROM orders
@@ -605,6 +704,23 @@ def oracle_sql() -> dict[str, str]:
         "content_type_glob": """
             SELECT doc_id, doc_id % 4 AS n_images
             FROM documents WHERE doc_id % 4 > 0""",
+        "media_features": """
+            WITH parts AS (
+              SELECT d.doc_id,
+                     CAST(1 + i.n + CASE WHEN d.doc_id % 19 = 0
+                          THEN 1 ELSE 0 END AS INTEGER) AS part_index,
+                     md5('blob:' || ((d.doc_id*131 + 7*i.n + 1)
+                         % (SELECT COUNT(*) FROM documents))) AS h
+              FROM documents d, (VALUES (0),(1),(2)) AS i(n)
+              WHERE i.n < d.doc_id % 4)
+            SELECT doc_id, part_index, 'image' AS media_kind,
+                   CAST(16 + CAST(concat('0x', substr(h, 1, 2))
+                        AS INTEGER) % 240 AS INTEGER) AS width,
+                   CAST(16 + CAST(concat('0x', substr(h, 3, 2))
+                        AS INTEGER) % 240 AS INTEGER) AS height,
+                   CAST(1 + CAST(concat('0x', substr(h, 5, 2))
+                        AS INTEGER) % 4 AS INTEGER) AS n_frames
+            FROM parts""",
         "list_parts_main": """
             SELECT doc_id,
                    CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS n_main
@@ -650,7 +766,4 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY ROLLUP (lang, source)""",
-        # simhash / simhash_pairs / media_features / ann_lsh_topk:
-        # pandas-UDF, stub-codec, or approximate kernels — not
-        # SQL-expressible; driver records rows-only checks
     }

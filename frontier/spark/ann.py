@@ -61,7 +61,9 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3
 
 
 def _hyperplane(dim: int, bit: int, band: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: md5-seeded ±1 dims."""
+    """Deterministic pseudo-random hyperplane: md5-seeded ±1 dims.
+    The DuckDB oracle restates the identical arithmetic (first md5
+    byte's low bit), so sketches are engine-portable."""
     import hashlib
     vec = []
     for d in range(dim):
@@ -70,17 +72,47 @@ def _hyperplane(dim: int, bit: int, band: int) -> list[float]:
     return vec
 
 
-def sign_sketch(df: DataFrame, vec_col: str, dim: int,
+def _hyperplane_dyn(bit: int, band: int):
+    """The same ±1 rule as a JVM expression over the dim index —
+    used when dim is unknown at plan-build time (no driver action
+    needed). Cost: one md5 per (band, bit, element) per ROW, so at
+    large dim prefer the literal-array path with dim from config or
+    file metadata."""
+    def weight(d):
+        s = F.concat(F.lit(f"hp:{band}:{bit}:"), d.cast("string"))
+        parity = F.conv(F.substring(F.md5(s), 1, 2), 16, 10) \
+            .cast("int").bitwiseAND(F.lit(1))
+        return F.when(parity == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return weight
+
+
+def sign_sketch(df: DataFrame, vec_col: str, dim: int | None,
                 n_bands: int = 4, bits_per_band: int = 8) -> DataFrame:
     """Attach LSH band keys: per band, a ``bits_per_band``-bit sign
-    sketch of the vector against fixed hyperplanes."""
+    sketch of the vector against fixed hyperplanes.
+
+    ``dim`` given → each hyperplane ships as ONE array literal
+    (``F.lit(list)``), n_bands×bits plan nodes total instead of
+    n_bands×bits×dim scalar literals (round-1 plan-bloat fix).
+    ``dim=None`` → hyperplane weights are computed per element with
+    JVM md5 (same values), no dim needed and no driver-side action —
+    right for ad-hoc queries; pass dim explicitly in hot pipelines.
+    """
     v = _as_double(F.col(vec_col))
     band_structs = []
     for band in range(n_bands):
         bits = None
         for bit in range(bits_per_band):
-            hp = F.array(*[F.lit(x) for x in _hyperplane(dim, bit, band)])
-            sign = (_dot(v, hp) >= 0).cast("int")
+            if dim is not None:
+                hp = F.lit(_hyperplane(dim, bit, band))
+                dot = _dot(v, hp)
+            else:
+                w = _hyperplane_dyn(bit, band)
+                idx = F.sequence(F.lit(0), F.size(v) - 1)
+                dot = F.aggregate(
+                    F.zip_with(v, idx, lambda x, d: x * w(d)),
+                    F.lit(0.0), lambda acc, x: acc + x)
+            sign = (dot >= 0).cast("int")
             term = sign * F.lit(1 << bit)
             bits = term if bits is None else bits + term
         band_structs.append(
@@ -88,7 +120,8 @@ def sign_sketch(df: DataFrame, vec_col: str, dim: int,
     return df.withColumn("bands", F.array(*band_structs))
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
+def lsh_topk(embeddings: DataFrame, queries: DataFrame,
+             dim: int | None = None,
              k: int = 3, n_bands: int = 4, bits_per_band: int = 8
              ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH candidate generation +

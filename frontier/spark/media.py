@@ -43,10 +43,12 @@ def media_resources(resources: DataFrame) -> DataFrame:
 
 def _fake_decode(blob: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real codec: derives a stable
-    (width, height, n_frames, 8-dim feature) from the bytes."""
+    (width, height, n_frames, 8-dim feature) straight from the blob
+    bytes — a "header read", like a real codec sniffing dimensions.
+    Pure byte arithmetic (no hashing) so the DuckDB correctness
+    oracle can restate it from the page generator's blob rule."""
     if FAKE_CODEC:
-        import hashlib
-        h = hashlib.blake2b(blob or b"", digest_size=16).digest()
+        h = (blob or b"").ljust(16, b"\0")
         width = 16 + h[0] % 240
         height = 16 + h[1] % 240
         n_frames = 1 + h[2] % 4

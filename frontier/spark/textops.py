@@ -199,17 +199,134 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# SimHash (pandas-UDF kernel: bitwise majority vote)
+# SimHash (pure JVM: explode tokens → codegen'd per-bit sums)
 # ---------------------------------------------------------------------------
+
+INT64_MIN = -(1 << 63)
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+    """64-bit SimHash over whitespace tokens — batch-vectorized
+    Arrow kernel with TOKEN DEDUP: md5 runs once per *distinct* token
+    per Arrow batch (``np.unique`` + per-doc counts), and the
+    bit-majority is one weighted ``np.add.reduceat`` over the whole
+    batch. Identical bits to hashing every occurrence (the majority
+    vote is occurrence-weighted).
 
-    Token hashes are md5-derived (stable everywhere); the per-doc
-    bit-majority fold is numpy inside an Arrow-batched pandas UDF —
-    the one part Spark SQL cannot express efficiently.
+    Why this shape (all variants measured at sf0.1, 32 cores,
+    interleaved runs): the round-1 kernel looped tokens in Python
+    (numpy ops per token); a pure-JVM explode→64×sum rewrite and a
+    per-occurrence numpy batch both stayed hash-bound within ±30% of
+    it. Dedup changes the complexity: cost ∝ batch VOCABULARY, not
+    token count — 4.9× faster on 1k-token docs (0.68 s vs 3.33 s for
+    5k docs) and ~flat as documents grow (0.72 s → 0.68 s for 20×
+    longer text). At 100 TB, web-corpus vocabulary grows ~sub-linearly
+    (Heaps' law), so per-batch dedup keeps winning. No shuffle — one
+    narrow map stage.
+
+    Token hash = first 8 bytes of md5(token), big-endian. Bit-for-bit
+    portable: the DuckDB oracle restates the same arithmetic
+    (per-occurrence — same majority).
     """
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sim64(texts: pd.Series) -> pd.Series:
+        n_docs = len(texts)
+        counts, toks, weights = [], [], []
+        for text in texts:
+            c = Counter(text.lower().split()) if text else {}
+            counts.append(len(c))
+            toks.extend(c.keys())
+            weights.extend(c.values())
+        out = np.zeros(n_docs, dtype=np.int64)
+        if not toks:
+            return pd.Series(out)
+        counts = np.asarray(counts, dtype=np.int64)
+        w = np.asarray(weights, dtype=np.int64)
+        uq, inv = np.unique(np.asarray(toks, dtype=object),
+                            return_inverse=True)
+        md5 = hashlib.md5
+        h_uq = np.fromiter(
+            (int.from_bytes(md5(t.encode()).digest()[:8], "big")
+             for t in uq),
+            dtype=np.uint64, count=len(uq))
+        h = h_uq[inv]
+        shifts = np.arange(64, dtype=np.uint64)
+        signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)
+        contrib = signs * w[:, None]
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nz = counts > 0
+        if nz.any():
+            acc = np.add.reduceat(contrib, starts[nz], axis=0)
+            pow2 = np.uint64(1) << shifts
+            vals = ((acc > 0).astype(np.uint64) * pow2) \
+                .sum(axis=1, dtype=np.uint64)
+            out[nz] = vals.view(np.int64)
+        return pd.Series(out)
+
+    return docs.select("doc_id", sim64(F.col(text_col)).alias("simhash64"))
+
+
+def simhash_jvm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-JVM SimHash — zero Python workers. Explode tokens → one
+    JVM ``md5`` per token → 64 codegen'd ``sum((bit<<1)-1)``
+    aggregates grouped by doc (map-side combine: the shuffle carries
+    one 64-long row per doc per partition, ~512 B/doc, never token
+    data).
+
+    Measured at sf0.1 it is ~2× slower than :func:`simhash` (no
+    token dedup; per-occurrence JVM md5 + 64-wide hash-agg update),
+    so it is the fallback for deployments that cannot run Python
+    workers, not the default.
+
+    Token hash = first 8 bytes of md5(token), big-endian — split into
+    two 32-bit lanes (``conv`` of 8 hex chars each) because a full
+    16-hex conv overflows signed BIGINT.
+    """
+    t = F.col(text_col)
+    toks = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
+                    lambda x: x != "")
+    digest = F.md5(F.col("tok"))
+    lanes = (docs
+             .select("doc_id", F.explode(toks).alias("tok"))
+             .select("doc_id",
+                     F.conv(F.substring(digest, 1, 8), 16, 10)
+                     .cast("bigint").alias("hi"),
+                     F.conv(F.substring(digest, 9, 8), 16, 10)
+                     .cast("bigint").alias("lo")))
+
+    def bit_sign(j: int):
+        lane = F.col("lo") if j < 32 else F.col("hi")
+        bit = F.shiftright(lane, j % 32).bitwiseAND(F.lit(1))
+        return bit * 2 - 1
+
+    acc = lanes.groupBy("doc_id").agg(
+        *[F.sum(bit_sign(j)).alias(f"b{j}") for j in range(64)])
+
+    val = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0,
+                      F.lit(INT64_MIN if j == 63 else 1 << j)) \
+            .otherwise(F.lit(0))
+        val = term if val is None else val + term
+
+    # docs with no tokens produce no exploded rows → simhash 0
+    return (docs.select("doc_id")
+            .join(acc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(val, F.lit(0)).cast("long")
+                    .alias("simhash64")))
+
+
+def simhash_pandas(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Round-1 pandas/hashlib kernel, kept as the differential oracle
+    for :func:`simhash` (tests assert identical outputs). NOT a hot
+    path — per-token Python."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -116,8 +116,9 @@ def build_page(doc_id: int, text: str, lang: str, n_docs: int
     main = _part(url, "text/html", encoding, payload)
     subparts = []
     for target in links_for(doc_id, n_docs):
-        blob = hashlib.blake2b(f"blob:{target}".encode(),
-                               digest_size=24).digest()
+        # md5, not blake2b: the media-features oracle restates the
+        # codec's byte arithmetic in SQL, and DuckDB only has md5
+        blob = hashlib.md5(f"blob:{target}".encode()).digest()
         subparts.append(_part(url_for(target), "image/png", "base64", blob))
 
     # displacement must be a pure function of doc_id so the DuckDB

@@ -85,6 +85,18 @@ def test_simhash_hamming_properties(docs):
         assert got[(0, 2)] <= 16
 
 
+def test_simhash_variants_bit_identical(docs):
+    """All three kernels — production (batch numpy + token dedup),
+    pure-JVM (explode → codegen bit-sums), and the round-1 pandas
+    loop — must produce identical bits."""
+    a = {r.doc_id: r.simhash64 for r in textops.simhash(docs).collect()}
+    b = {r.doc_id: r.simhash64 for r in
+         textops.simhash_pandas(docs).collect()}
+    c = {r.doc_id: r.simhash64 for r in
+         textops.simhash_jvm(docs).collect()}
+    assert a == b == c
+
+
 def test_simhash_matches_pure_python(docs):
     import hashlib
     rows = {r.doc_id: r.text for r in docs.collect()}
