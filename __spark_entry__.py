@@ -215,9 +215,14 @@ def q_lsh_pairs(spark, sf_dir):
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
     # persist: both sides of the banding self-join need the signature
-    # relation — without it Spark recomputes the minhash agg twice
+    # relation (measured: 4x — AQE does not reuse the exchange here);
+    # eager-checkpoint the small pairs output so the cache can be
+    # RELEASED before returning instead of leaking across queries
     sig = textops.minhash_signatures(docs, n_hashes=4).persist()
-    return textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2) \
+        .localCheckpoint(eager=True)
+    sig.unpersist()
+    return pairs
 
 
 def q_simhash(spark, sf_dir):
@@ -314,7 +319,9 @@ def q_ngram_jaccard(spark, sf_dir):
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
     sig = textops.minhash_signatures(docs, n_hashes=4).persist()
-    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2)
+    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2) \
+        .localCheckpoint(eager=True)  # then release the sig cache
+    sig.unpersist()
     jac = textops.ngram_jaccard(docs, pairs)
     # floor, not round: Spark rounds HALF_UP, DuckDB HALF_EVEN — exact
     # binary ties (e.g. jaccard = k/128) would hash-mismatch
@@ -347,6 +354,25 @@ def q_events_daily(spark, sf_dir):
             .agg(F.count("*").alias("n_events"),
                  F.sum(F.round(F.col("value") * 100).cast("long"))
                  .alias("value_c")))
+
+
+def q_rfc7bit_text(spark, sf_dir):
+    """RFC 2045 §6.1 default-7bit decode flag: pages whose binary
+    main part OMITS Content-Transfer-Encoding (real crawled MHTML
+    does this constantly). Parity-strict extraction nulls that text
+    (reference: unknown encoding → None, mhtml.py:484-487); the
+    default_7bit flag recovers it. Both modes in one relation so the
+    oracle checks the flag actually changes only the right rows."""
+    from frontier import synth
+    from frontier.spark import parse
+    pages = synth.pages_from_documents(spark, sf_dir, omit_cte=True)
+    strict = parse.extract_main_text(pages) \
+        .select(_doc_id("url").alias("doc_id"),
+                F.col("text").alias("text_strict"))
+    lax = parse.extract_main_text(pages, default_7bit=True) \
+        .select(_doc_id("url").alias("doc_id"),
+                F.col("text").alias("text_7bit"))
+    return strict.join(lax, "doc_id")
 
 
 def q_text_sha(spark, sf_dir):
@@ -409,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_type_glob": q_content_type_glob,
         "list_parts_main": q_list_parts_main,
         "simhash_pairs": q_simhash_pairs,
+        "rfc7bit_text": q_rfc7bit_text,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -753,6 +780,13 @@ def oracle_sql() -> dict[str, str]:
         "text_sha": """
             SELECT doc_id, sha256(text) AS text_sha
             FROM documents WHERE doc_id % 19 != 0""",
+        "rfc7bit_text": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0 OR doc_id % 3 = 2
+                        THEN NULL ELSE text END AS text_strict,
+                   CASE WHEN doc_id % 19 = 0
+                        THEN NULL ELSE text END AS text_7bit
+            FROM documents""",
         "header_get": """
             SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
                    3 AS n_headers

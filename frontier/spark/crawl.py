@@ -64,6 +64,37 @@ def prepare_page_index(pages: DataFrame) -> DataFrame:
             .dropDuplicates(["url_canon"]))
 
 
+DEFAULT_BROADCAST_FETCH_MAX = 10_000_000  # rows; ~10M slim keys ≈ 1 GB
+
+
+def fetch_pages(page_index: DataFrame, batch: DataFrame,
+                mode: str = "broadcast") -> DataFrame:
+    """Join the scheduled batch onto the page index.
+
+    * ``broadcast`` — the budget-bounded batch rides to every
+      executor; page text/links never shuffle. Right whenever the
+      batch fits the driver/executor broadcast budget.
+    * ``copartition`` — plain equi-join on url_canon: sort-merge (or
+      AQE's shuffle-hash) with NO broadcast. When ``page_index`` is a
+      bucketed table (sources.write_bucketed_page_index), the big
+      side's exchange AND sort are elided — only the slim batch
+      shuffles. This is the 10^8+-row batch path where broadcast is
+      impossible.
+
+    Both produce identical rows (test_crawl proves it) — the switch
+    is purely physical.
+    """
+    idx = page_index.select("url_canon",
+                            F.col("warc_ts").alias("page_ts"),
+                            "text", "links")
+    slim = batch.select("url_canon", "priority")
+    if mode == "broadcast":
+        return idx.join(F.broadcast(slim), "url_canon")
+    if mode == "copartition":
+        return idx.join(slim.hint("shuffle_merge"), "url_canon")
+    raise ValueError(f"unknown fetch mode: {mode!r}")
+
+
 def _estimate_fpp(n_keys: int, m_bits: int,
                   k: int = seenmod.DEFAULT_K) -> float:
     """Classic Bloom FPP estimate (1 - e^{-kn/m})^k for the fullest
@@ -80,11 +111,18 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
           num_buckets: int = seenmod.DEFAULT_NUM_BUCKETS,
           resume: bool = False,
           bloom_bits_per_bucket: int | None = None,
-          target_fpp: float = DEFAULT_TARGET_FPP) -> dict:
+          target_fpp: float = DEFAULT_TARGET_FPP,
+          fetch_mode: str = "auto",
+          broadcast_fetch_max: int = DEFAULT_BROADCAST_FETCH_MAX) -> dict:
     """Run (or resume) a crawl; returns the final manifest dict.
 
     seeds: (url, priority, source_rank) — source_rank breaks dup-seed
     ties first-wins, mirroring merge.py:30-44.
+
+    fetch_mode: "broadcast" | "copartition" | "auto" (broadcast while
+    the scheduled batch is ≤ broadcast_fetch_max rows, co-partitioned
+    join beyond — the batch row count is already on the driver, so
+    the switch costs nothing).
     """
     if bloom_bits_per_bucket is None:
         bloom_bits_per_bucket = (seenmod.DEFAULT_BITS_PER_KEY
@@ -139,17 +177,16 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         leftover = staged.select(*FRONTIER_COLS) \
             .join(batch.select("url_canon"), "url_canon", "left_anti")
 
-        # 3. fetch + parse (page_index lookup). The scheduled batch is
-        # budget-bounded (hosts x budget) and slim — broadcast it onto
-        # the page index so page text/links never shuffle; URLs with
-        # no page simply don't match (inner join), and seen-marking
-        # uses `batch` directly so nothing is lost. Persisted: feeds
-        # both the results write and link discovery.
-        fetched = page_index.select("url_canon",
-                                    F.col("warc_ts").alias("page_ts"),
-                                    "text", "links") \
-            .join(F.broadcast(batch.select("url_canon", "priority")),
-                  "url_canon").persist()
+        # 3. fetch + parse (page_index lookup). URLs with no page
+        # simply don't match (inner join), and seen-marking uses
+        # `batch` directly so nothing is lost. Persisted: feeds both
+        # the results write and link discovery.
+        if fetch_mode == "auto":
+            mode = "broadcast" if n_scheduled <= broadcast_fetch_max \
+                else "copartition"
+        else:
+            mode = fetch_mode
+        fetched = fetch_pages(page_index, batch, mode).persist()
         results = fetched.where(F.col("text").isNotNull()) \
             .select("url_canon", "text",
                     F.lit(round_no).alias("round"))

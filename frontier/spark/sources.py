@@ -73,6 +73,64 @@ def write_pages(pages: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_part_files(resources: DataFrame, out_dir: str) -> None:
+    """S1 literal file-per-part sink (reference extract.py:52-64):
+    every resource row becomes ONE file of its RAW content bytes
+    (undecoded, trailing CRLF kept — ``content[cstart:end]`` exactly
+    like the reference), named by the U2 collision-renamed filename
+    under a per-page directory (url-hash prefixed, since many pages'
+    parts share names across pages).
+
+    Executor-side fan-out via foreachPartition — no driver collect;
+    the U2 rename is the relational row_number form, so names are
+    deterministic at any parallelism (no filesystem probing races).
+    """
+    from .extract import with_unique_filenames
+
+    os.makedirs(out_dir, exist_ok=True)
+    named = with_unique_filenames(resources)
+    slim = named.select(
+        F.substring(F.sha2(F.col("url"), 256), 1, 16).alias("page_dir"),
+        "out_filename", "content")
+
+    def dump(rows):
+        for row in rows:
+            page_dir = os.path.join(out_dir, row["page_dir"])
+            os.makedirs(page_dir, exist_ok=True)
+            blob = bytes(row["content"]) if row["content"] is not None \
+                else b""
+            with open(os.path.join(page_dir, row["out_filename"]),
+                      "wb") as fh:
+                fh.write(blob)
+
+    slim.foreachPartition(dump)
+
+
+def write_bucketed_page_index(page_index: DataFrame, table: str,
+                              path: str, n_buckets: int = 64) -> None:
+    """Persist the fetch-lookup index as a BUCKETED parquet table
+    (hash-bucketed + sorted on url_canon).
+
+    This is the 10^8+-row fetch path: joining the scheduled batch on
+    url_canon against a bucketed index lets Spark elide the exchange
+    AND the sort on the big side (bucket pruning keeps it a per-bucket
+    merge), so page text/links never shuffle even when the batch is
+    too large to broadcast. See crawl.fetch_pages(mode=...).
+    """
+    (page_index.write.mode("overwrite")
+     .bucketBy(n_buckets, "url_canon")
+     .sortBy("url_canon")
+     .option("path", path)
+     .format("parquet")
+     .saveAsTable(table))
+
+
+def read_bucketed_page_index(spark: SparkSession, table: str) -> DataFrame:
+    """Read back the bucketed index — MUST go through the table (not
+    the parquet path) or Spark forgets the bucket spec and re-shuffles."""
+    return spark.table(table)
+
+
 def write_mhtml_files(pages: DataFrame, out_dir: str) -> None:
     """One ``.mhtml`` file per page, named by a filesystem-safe hash of
     the url — executor-side fan-out, the distributed analog of

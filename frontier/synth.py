@@ -91,29 +91,38 @@ def _encode_payload(payload: bytes, encoding: str) -> bytes:
 
 
 def _part(content_location: str, content_type: str, encoding: str,
-          payload: bytes) -> bytes:
+          payload: bytes, include_cte: bool = True) -> bytes:
+    cte = (f"Content-Transfer-Encoding: {encoding}\r\n".encode()
+           if include_cte else b"")
     return (
         b"--" + BOUNDARY.encode() + b"\r\n"
         + f"Content-Type: {content_type}\r\n".encode()
-        + f"Content-Transfer-Encoding: {encoding}\r\n".encode()
+        + cte
         + f"Content-Location: {content_location}\r\n".encode()
         + b"\r\n"
         + _encode_payload(payload, encoding) + b"\r\n"
     )
 
 
-def build_page(doc_id: int, text: str, lang: str, n_docs: int
+def build_page(doc_id: int, text: str, lang: str, n_docs: int,
+               omit_cte: bool = False
                ) -> tuple[str, int, bytes, str | None, str]:
     """→ (url, warc_ts_us, html_bytes, expected_text, lang).
 
     ``expected_text`` is the oracle for the engine's main-text
     extraction: NULL when the main part is displaced off index 0.
+
+    ``omit_cte=True``: binary-encoded main parts (doc_id % 3 == 2)
+    drop their Content-Transfer-Encoding header — the real-world
+    RFC 2045 §6.1 default-7bit case that parity-strict decode turns
+    into NULL text and the ``default_7bit`` flag recovers.
     """
     url = url_for(doc_id)
     encoding = encoding_for(doc_id)
     payload = text.encode("utf-8")
 
-    main = _part(url, "text/html", encoding, payload)
+    main = _part(url, "text/html", encoding, payload,
+                 include_cte=not (omit_cte and encoding == "binary"))
     subparts = []
     for target in links_for(doc_id, n_docs):
         # md5, not blake2b: the media-features oracle restates the
@@ -152,7 +161,7 @@ PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
 
 
 def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None,
-                         amplify: int = 1):
+                         amplify: int = 1, omit_cte: bool = False):
     """documents parquet → pages DataFrame, generated executor-side.
 
     ``amplify=K`` replicates the corpus K× with shifted doc_ids
@@ -189,7 +198,7 @@ def pages_from_documents(spark, sf_dir: str, n_docs: int | None = None,
             urls, tss, htmls, exp_texts, out_langs = [], [], [], [], []
             for doc_id, text, lang in zip(doc_ids, texts, langs):
                 url, ts_us, html, exp, lng = build_page(
-                    doc_id, text or "", lang, total)
+                    doc_id, text or "", lang, total, omit_cte=omit_cte)
                 urls.append(url)
                 tss.append(ts_us)
                 htmls.append(html)

@@ -126,6 +126,50 @@ def test_robots_blocked_never_fetched(spark, spark_run, corpus):
     assert blocked.join(seen, "url_canon", "left_semi").count() == 0
 
 
+def test_copartition_fetch_identical_state(spark, corpus, sim_run,
+                                           tmp_path_factory):
+    """fetch_mode='copartition' (the 10^8+-batch path: plain equi-join,
+    no broadcast) must produce byte-identical crawl state to the
+    broadcast fetch — the switch is purely physical."""
+    _, page_index, seeds, robots = corpus
+    store = SnapshotStore(str(tmp_path_factory.mktemp("crawl_copart")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=BUDGET, max_rounds=ROUNDS, num_buckets=8,
+                fetch_mode="copartition")
+    seen = {r.url_canon for r in store.read(spark, "seen_exact").collect()}
+    assert seen == sim_run.seen
+    results = crawl.collect_results(spark, store)
+    got = {r.url_canon: r.text for r in results.collect()}
+    assert got == sim_run.fetched_texts
+
+
+def test_bucketed_index_elides_big_side_exchange(spark, corpus):
+    """The bucketed page-index table joins without shuffling the big
+    side: plan shows Bucketed:true scan and no Exchange above it."""
+    import pyspark.sql.functions as F2
+
+    from frontier.spark import sources
+    _, page_index, _, _ = corpus
+    sources.write_bucketed_page_index(
+        page_index, "page_index_buckets_test",
+        "/tmp/frontier_test_bucketed_index", n_buckets=8)
+    bidx = sources.read_bucketed_page_index(
+        spark, "page_index_buckets_test")
+    batch = bidx.select("url_canon").limit(50) \
+        .withColumn("priority", F2.lit(0))
+    joined = crawl.fetch_pages(bidx, batch, "copartition")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines()
+                  if "FileScan" in ln and "page_index_buckets_test" in ln
+                  and "links" in ln]  # the wide (big-side) scan
+    assert scan_lines and "Bucketed: true" in scan_lines[0]
+    # and the rows match the broadcast path exactly
+    a = sorted(r.url_canon for r in
+               crawl.fetch_pages(bidx, batch, "broadcast").collect())
+    b = sorted(r.url_canon for r in joined.collect())
+    assert a == b
+
+
 def test_bloom_saturation_guard_in_crawl(spark, corpus, sim_run,
                                          tmp_path_factory):
     """A deliberately tiny Bloom (64 bits/bucket) saturates in round

@@ -69,3 +69,17 @@ def test_content_encoding_dispatch_table():
     assert ContentEncoding.parse("quoted-printable") is \
         ContentEncoding.QUOTEDPRINTABLE
     assert ContentEncoding.parse("BASE64") is ContentEncoding.BASE64
+
+
+def test_default_7bit_flag():
+    """RFC 2045 §6.1: no Content-Transfer-Encoding header → 7bit.
+    Flag off (parity): missing header decodes to None, matching the
+    reference (mhtml.py:484-487). Flag on: passthrough. An explicit
+    UNKNOWN encoding value stays None in both modes."""
+    from frontier.kernel.decode import decode_payload
+    raw = b"plain bytes"
+    assert decode_payload(raw, None) is None                 # parity
+    assert decode_payload(raw, None, default_7bit=True) == raw
+    assert decode_payload(raw, "x-weird") is None
+    assert decode_payload(raw, "x-weird", default_7bit=True) is None
+    assert decode_payload(raw, "7bit", default_7bit=True) == raw
