@@ -230,6 +230,57 @@ def q_simhash(spark, sf_dir):
     return textops.simhash(_read(spark, sf_dir, "documents"))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Token-budget counting: whitespace + BPE-ish regex tokens and
+    their ratio (fertility, in exact 1e-6 integer units)."""
+    from frontier.spark import textops
+    out = textops.bpe_token_count(_read(spark, sf_dir, "documents"))
+    # integer `div`, not double `/` + cast: double rounding near an
+    # integer boundary could disagree with the oracle's exact `//`
+    return out.select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens",
+        F.expr("CAST(CAST(n_bpe_tokens AS BIGINT) * 1000000 "
+               "DIV greatest(n_ws_tokens, 1) AS BIGINT)")
+        .alias("fertility_u"))
+
+
+def q_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints, exploded to one
+    row per distinct fingerprint."""
+    from frontier.spark import textops
+    fp = textops.winnow_fingerprints(_read(spark, sf_dir, "documents"))
+    return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    from frontier.spark import ann
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    return ann.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+def _embedding_dim(sf_dir):
+    """Vector dim from the parquet file itself — one-row pyarrow read
+    on the driver, no Spark action."""
+    import pyarrow.dataset as ds
+    batch = next(ds.dataset(f"{sf_dir}/embeddings.parquet")
+                 .to_batches(columns=["embedding"], batch_size=1))
+    return len(batch.column(0)[0])
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH-band candidates + exact
+    cosine ≥ threshold (floored to 1e-6 units)."""
+    from frontier.spark import ann
+    emb = _read(spark, sf_dir, "embeddings")
+    return ann.cosine_near_dup(emb, threshold=0.4,
+                               dim=_embedding_dim(sf_dir),
+                               n_bands=8, bits_per_band=4)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -301,12 +352,9 @@ def q_simhash_pairs(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
-    # dim from the parquet file itself (one-row pyarrow read on the
-    # driver — no Spark job; round 1 drove a .first() action here)
-    import pyarrow.dataset as ds
-    batch = next(ds.dataset(f"{sf_dir}/embeddings.parquet")
-                 .to_batches(columns=["embedding"], batch_size=1))
-    dim = len(batch.column(0)[0])
+    # round 1 drove a .first() action here; now a driver-side
+    # one-row pyarrow read
+    dim = _embedding_dim(sf_dir)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"))
@@ -436,6 +484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_parts_main": q_list_parts_main,
         "simhash_pairs": q_simhash_pairs,
         "rfc7bit_text": q_rfc7bit_text,
+        "bpe_token_count": q_bpe_token_count,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -501,6 +553,33 @@ WITH toks AS (
 ), sim AS (
   SELECT d.doc_id, COALESCE(v.simhash64, 0) AS simhash64
   FROM documents d LEFT JOIN vals v USING (doc_id)
+)
+"""
+
+
+_ANN_KEYS_CTE = """
+WITH elems AS (
+  SELECT vec_id,
+         UNNEST(embedding) AS x,
+         UNNEST(generate_series(1, len(embedding))) AS i
+  FROM embeddings
+), comp AS (
+  SELECT e.vec_id, b.band, t.bit,
+         SUM(CAST(e.x AS DOUBLE) *
+             CASE WHEN (CAST(concat('0x', substr(md5(
+                    'hp:' || b.band || ':' || t.bit || ':'
+                    || (e.i - 1)), 1, 2)) AS INTEGER) & 1) = 1
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(-1.0 AS DOUBLE) END) AS dot
+  FROM elems e,
+       generate_series(0, 7) b(band),
+       generate_series(0, 3) t(bit)
+  GROUP BY e.vec_id, b.band, t.bit
+), keys AS (
+  SELECT vec_id, band,
+         CAST(SUM(CASE WHEN dot >= 0 THEN (1 << bit)
+                  ELSE 0 END) AS INTEGER) AS key
+  FROM comp GROUP BY vec_id, band
 )
 """
 
@@ -663,31 +742,8 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT * FROM embeddings WHERE vec_id < 5) q
               WHERE e.vec_id != q.vec_id)
             WHERE rn <= 3""",
-        "ann_lsh_topk": """
-            WITH elems AS (
-              SELECT vec_id,
-                     UNNEST(embedding) AS x,
-                     UNNEST(generate_series(1, len(embedding))) AS i
-              FROM embeddings
-            ), comp AS (
-              SELECT e.vec_id, b.band, t.bit,
-                     SUM(CAST(e.x AS DOUBLE) *
-                         CASE WHEN (CAST(concat('0x', substr(md5(
-                                'hp:' || b.band || ':' || t.bit || ':'
-                                || (e.i - 1)), 1, 2)) AS INTEGER)
-                                & 1) = 1
-                              THEN CAST(1.0 AS DOUBLE)
-                              ELSE CAST(-1.0 AS DOUBLE) END) AS dot
-              FROM elems e,
-                   generate_series(0, 7) b(band),
-                   generate_series(0, 3) t(bit)
-              GROUP BY e.vec_id, b.band, t.bit
-            ), keys AS (
-              SELECT vec_id, band,
-                     CAST(SUM(CASE WHEN dot >= 0 THEN (1 << bit)
-                              ELSE 0 END) AS INTEGER) AS key
-              FROM comp GROUP BY vec_id, band
-            ), cand AS (
+        "ann_lsh_topk": _ANN_KEYS_CTE + """
+            , cand AS (
               SELECT DISTINCT q.vec_id AS query_id,
                      e.vec_id AS neighbor_id
               FROM keys e JOIN keys q
@@ -787,6 +843,96 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 19 = 0
                         THEN NULL ELSE text END AS text_7bit
             FROM documents""",
+        "bpe_token_count": """
+            WITH c AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x != '')) AS ws,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe
+              FROM documents)
+            SELECT doc_id,
+                   CAST(ws AS INTEGER) AS n_ws_tokens,
+                   CAST(bpe AS INTEGER) AS n_bpe_tokens,
+                   CAST(bpe * 1000000 // greatest(ws, 1) AS BIGINT)
+                       AS fertility_u
+            FROM c""",
+        "winnow_fingerprint": """
+            WITH g AS (
+              SELECT doc_id, lower(text) AS t,
+                     length(text) - 4 + 1 AS ng
+              FROM documents WHERE length(text) >= 4
+            ), hs AS (
+              SELECT doc_id, ng,
+                     list_transform(generate_series(0, ng - 1),
+                       i -> CAST(concat('0x',
+                              substr(md5(substr(t, i + 1, 4)), 1, 8))
+                            AS BIGINT)) AS h
+              FROM g
+            ), prints AS (
+              SELECT doc_id,
+                     CASE WHEN ng - 8 + 1 >= 1 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, ng - 8 + 1),
+                         i -> list_min(h[i : i + 7])))
+                     ELSE [list_min(h)] END AS fps
+              FROM hs)
+            SELECT doc_id, UNNEST(fps) AS fp FROM prints""",
+        "ann_ivf_topk": """
+            WITH cents AS (
+              SELECT vec_id AS cell_id, embedding AS c
+              FROM embeddings WHERE vec_id < 16
+            ), asg AS (
+              SELECT vec_id AS neighbor_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.c::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+                FROM embeddings e, cents c)
+              WHERE rn = 1
+            ), probe AS (
+              SELECT vec_id AS query_id, cell_id FROM (
+                SELECT e.vec_id, c.cell_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(
+                             e.embedding::DOUBLE[], c.c::DOUBLE[]) DESC,
+                           c.cell_id ASC) AS rn
+                FROM embeddings e, cents c WHERE e.vec_id < 5)
+              WHERE rn <= 4
+            ), cand AS (
+              SELECT DISTINCT p.query_id, a.neighbor_id
+              FROM asg a JOIN probe p USING (cell_id)
+              WHERE a.neighbor_id != p.query_id
+            ), scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[],
+                           q.embedding::DOUBLE[]) DESC,
+                         c.neighbor_id ASC) AS rn
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.neighbor_id
+              JOIN embeddings q ON q.vec_id = c.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+            FROM scored WHERE rn <= 3""",
+        "embedding_near_dup": _ANN_KEYS_CTE + """
+            , cand AS (
+              SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+              FROM keys l JOIN keys r
+                ON l.band = r.band AND l.key = r.key
+               AND l.vec_id < r.vec_id)
+            SELECT c.vec_a, c.vec_b,
+                   CAST(floor(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       * 1000000) AS BIGINT) AS cosine_u
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.vec_a
+            JOIN embeddings b ON b.vec_id = c.vec_b
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4""",
         "header_get": """
             SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
                    3 AS n_headers

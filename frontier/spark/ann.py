@@ -120,6 +120,98 @@ def sign_sketch(df: DataFrame, vec_col: str, dim: int | None,
     return df.withColumn("bands", F.array(*band_structs))
 
 
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path next to hyperplane LSH (:func:`lsh_topk`).
+
+    Coarse quantizer: ``n_cells`` fixed centroid vectors (here the
+    lowest-vec_id embeddings — deterministic; a trained k-means
+    codebook plugs into the same relation). Every vector is assigned
+    to its max-cosine cell (broadcast centroids, narrow map — at
+    10^9 vectors this is one pass); a query probes its ``n_probe``
+    nearest cells and exact-re-ranks only those cells' vectors:
+    candidates ≈ n * n_probe / n_cells per query instead of n.
+
+    Ties broken by (cell_id, neighbor_id) — fully deterministic;
+    output schema matches :func:`cosine_topk` for recall evaluation.
+    """
+    cents = embeddings.where(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        _as_double(F.col("embedding")).alias("c"))
+    emb = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("v"))
+    qry = queries.select(
+        "query_id", _as_double(F.col("q_embedding")).alias("q"))
+
+    def assign(df, vec_col, id_col, keep_top):
+        sim = _dot(F.col(vec_col), F.col("c")) / \
+            (_norm(F.col(vec_col)) * _norm(F.col("c")))
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("_csim").desc(), F.col("cell_id").asc())
+        return (df.crossJoin(F.broadcast(cents))
+                .withColumn("_csim", sim)
+                .withColumn("_crn", F.row_number().over(w))
+                .where(F.col("_crn") <= keep_top)
+                .drop("_csim", "_crn", "c"))
+
+    assigned = assign(emb, "v", "neighbor_id", 1)
+    probed = assign(qry, "q", "query_id", n_probe)
+
+    cand = (assigned.join(probed, "cell_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "q", "neighbor_id", "v")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("v"), F.col("q")) /
+        (_norm(F.col("v")) * _norm(F.col("q"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def cosine_near_dup(embeddings: DataFrame, threshold: float,
+                    dim: int | None = None,
+                    n_bands: int = 8, bits_per_band: int = 4
+                    ) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the ANN-backed dedup
+    operator for training-data pipelines: candidates = vectors
+    colliding in ≥1 LSH band (same hyperplane family as
+    :func:`lsh_topk`), then exact cosine verify ≥ threshold.
+
+    All-pairs is O(n²) and impossible at 10^9 vectors; banded
+    collision keys make the self-join an equi-join on (band, key)
+    with ~n/2^bits rows per bucket. Returns (vec_a, vec_b, cosine_u)
+    with cosine floored to 1e-6 units (cross-engine float-tie-free,
+    same trick as ngram_jaccard).
+    """
+    emb = sign_sketch(
+        embeddings.select("vec_id",
+                          _as_double(F.col("embedding")).alias("v")),
+        "v", dim, n_bands, bits_per_band) \
+        .select("vec_id", "v", F.explode("bands").alias("b")) \
+        .select("vec_id", "v", "b.band", "b.key")
+    left, right = emb.alias("l"), emb.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.band") == F.col("r.band")) &
+                      (F.col("l.key") == F.col("r.key")) &
+                      (F.col("l.vec_id") < F.col("r.vec_id")))
+            .select(F.col("l.vec_id").alias("vec_a"),
+                    F.col("r.vec_id").alias("vec_b"),
+                    F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+    cos = _dot(F.col("va"), F.col("vb")) / \
+        (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.withColumn("cosine", cos)
+            .where(F.col("cosine") >= threshold)
+            .select("vec_a", "vec_b",
+                    F.floor(F.col("cosine") * 1_000_000)
+                    .cast("bigint").alias("cosine_u")))
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame,
              dim: int | None = None,
              k: int = 3, n_bands: int = 4, bits_per_band: int = 8

@@ -74,12 +74,15 @@ def fetch_pages(page_index: DataFrame, batch: DataFrame,
     * ``broadcast`` — the budget-bounded batch rides to every
       executor; page text/links never shuffle. Right whenever the
       batch fits the driver/executor broadcast budget.
-    * ``copartition`` — plain equi-join on url_canon: sort-merge (or
-      AQE's shuffle-hash) with NO broadcast. When ``page_index`` is a
-      bucketed table (sources.write_bucketed_page_index), the big
-      side's exchange AND sort are elided — only the slim batch
-      shuffles. This is the 10^8+-row batch path where broadcast is
-      impossible.
+    * ``copartition`` — equi-join on url_canon with a SHUFFLE_HASH
+      hint on the slim side: the batch shuffles and builds per-
+      partition hash maps; the page side just streams (hash join
+      needs no sort). When ``page_index`` is a bucketed table
+      (sources.write_bucketed_page_index) the big side's exchange is
+      elided too — page text/links NEVER move, same as broadcast.
+      This is the 10^8+-row batch path where broadcast is impossible;
+      shuffle_hash beats shuffle_merge here because merge would sort
+      the wide page rows per bucket.
 
     Both produce identical rows (test_crawl proves it) — the switch
     is purely physical.
@@ -91,7 +94,7 @@ def fetch_pages(page_index: DataFrame, batch: DataFrame,
     if mode == "broadcast":
         return idx.join(F.broadcast(slim), "url_canon")
     if mode == "copartition":
-        return idx.join(slim.hint("shuffle_merge"), "url_canon")
+        return idx.join(slim.hint("shuffle_hash"), "url_canon")
     raise ValueError(f"unknown fetch mode: {mode!r}")
 
 

@@ -68,7 +68,9 @@ def with_host(df: DataFrame, canon_col: str = "url_canon",
 
 
 def politeness_cut(frontier: DataFrame, budget_per_host: int,
-                   num_salts: int = DEFAULT_SALTS) -> DataFrame:
+                   num_salts: int = DEFAULT_SALTS,
+                   delay_col: str | None = None,
+                   window_ms: int | None = None) -> DataFrame:
     """Keep the top ``budget_per_host`` URLs per host by
     ``(priority, warc_ts, url_canon)`` — two-phase, skew-safe.
 
@@ -76,16 +78,33 @@ def politeness_cut(frontier: DataFrame, budget_per_host: int,
     per salt. Phase 2 cuts within host over ≤ salts×budget survivors.
     Results are identical to a single-phase window (top-k is
     decomposable) but the max window partition is bounded.
+
+    ``delay_col``/``window_ms``: honor per-host robots crawl-delay —
+    a host with Crawl-delay d ms can serve at most window_ms/d
+    fetches per round, so its effective budget is
+    ``least(budget, greatest(1, window_ms div d))`` (hosts with no or
+    zero delay keep the full budget). Pure column arithmetic; the
+    two-phase decomposition is unchanged because the per-host budget
+    is constant within each host.
     """
     order = [F.col(c).asc() for c in ORDER_COLS]
+    budget = F.lit(budget_per_host)
+    if delay_col is not None and window_ms is not None:
+        d = F.col(delay_col)
+        capped = F.greatest(
+            F.lit(1),
+            (F.lit(int(window_ms)) / F.greatest(d, F.lit(1)))
+            .cast("long"))
+        budget = F.when(d > 0, F.least(budget.cast("long"), capped)) \
+            .otherwise(budget)
     w1 = Window.partitionBy("host", "salt").orderBy(*order)
     w2 = Window.partitionBy("host").orderBy(*order)
     return (frontier
             .withColumn("_rn1", F.row_number().over(w1))
-            .where(F.col("_rn1") <= budget_per_host)
+            .where(F.col("_rn1") <= budget)
             .drop("_rn1")
             .withColumn("rank_in_host", F.row_number().over(w2))
-            .where(F.col("rank_in_host") <= budget_per_host))
+            .where(F.col("rank_in_host") <= budget))
 
 
 def fetch_order(frontier: DataFrame,

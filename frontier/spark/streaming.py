@@ -97,6 +97,44 @@ def rate_limited_hosts(texts_stream: DataFrame, budget_per_trigger: int,
                                     GroupStateTimeout.NoTimeout))
 
 
+SEEN_STATE_DDL = "first_ts_us bigint"
+FIRST_SEEN_OUT_DDL = "url_canon string, warc_ts timestamp, text string"
+
+
+def first_seen_texts(texts_stream: DataFrame) -> DataFrame:
+    """Streaming URL-seen set: emit each url_canon's text exactly ONCE
+    across all triggers (first-wins by warc_ts, deterministic) — the
+    stateful-streaming twin of the batch crawl's Bloom+exact
+    anti-join (seen.filter_unseen) and of the reference's merge
+    seen-set (merge.py:30-44).
+
+    State = one bigint per seen url, sharded by Spark's state store
+    (RocksDB on a real cluster): the 10^10-url state lives with the
+    shuffle partitioning, never on one node. Duplicates inside one
+    trigger resolve by min (warc_ts, text) before emission.
+    """
+    def dedup(key, pdfs, state: GroupState):
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if state.exists or not rows:
+            return  # already emitted in an earlier trigger
+        import pandas as pd2
+        all_rows = pd2.concat(rows, ignore_index=True)
+        all_rows["_ts"] = all_rows["warc_ts"].astype("int64")
+        first = all_rows.sort_values(["_ts", "text"]).iloc[0]
+        state.update((int(first["_ts"]),))
+        yield pd2.DataFrame({"url_canon": [key[0]],
+                             "warc_ts": [first["warc_ts"]],
+                             "text": [first["text"]]})
+
+    return (texts_stream
+            .where(F.col("url_canon").isNotNull())
+            .select("url_canon", "warc_ts", "text")
+            .groupBy("url_canon")
+            .applyInPandasWithState(dedup, FIRST_SEEN_OUT_DDL,
+                                    SEEN_STATE_DDL, "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(df: DataFrame, out_path: str, checkpoint: str,
                       output_mode: str = "append"):
     """Run a streaming DF to parquet with availableNow (one

@@ -67,6 +67,58 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("avg_token_len"))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+"""GPT-2-flavoured pre-tokenizer shape: letter runs, 1-3 digit number
+chunks, single punctuation marks (whitespace dropped). A stand-in
+for a real BPE vocabulary with the same *counting* behavior class —
+token counts are the training-data budget currency."""
+
+
+def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace AND BPE-ish token counts per doc — pure
+    regexp_extract_all + size, codegen'd, no shuffle. The ratio
+    (bpe/ws) is the 'fertility' signal pipelines use to spot
+    tokenizer-hostile text."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(F.trim(t), r"\s+"),
+                         lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"),
+        (bpe / F.greatest(ws, F.lit(1))).alias("fertility"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        k: int = 4, window: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-char gram, slide a
+    window of ``window`` consecutive gram hashes, keep each window's
+    MINIMUM, dedupe. Robust to local edits; the standard rolling-
+    hash fingerprint family for near-dup detection at corpus scale.
+
+    All array ops (sequence → transform → slice/array_min →
+    array_distinct), one narrow map stage, no shuffle. Gram hash =
+    first 8 md5 hex chars (portable to the DuckDB oracle).
+    """
+    t = F.lower(F.col(text_col))
+    n_grams = F.length(t) - k + 1
+    gram_hash_fn = (lambda i: F.conv(
+        F.substring(F.md5(t.substr(i + 1, F.lit(k))), 1, 8), 16, 10)
+        .cast("bigint"))
+    hashes = F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash_fn)
+    n_windows = n_grams - window + 1
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i, window)))
+    prints = F.when(n_windows >= 1, F.array_distinct(mins)) \
+        .when(n_grams >= 1, F.array(F.array_min(hashes))) \
+        .otherwise(F.array().cast("array<bigint>"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(prints, F.array().cast("array<bigint>"))
+        .alias("fingerprints"))
+
+
 LEXICONS = {  # tiny deterministic "language" lexicons over the corpus vocab
     "A": "data",
     "B": "query",

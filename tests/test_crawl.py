@@ -227,3 +227,31 @@ def test_bloom_fpp_bounded_over_rounds(spark):
     assert bits > 256  # saturation actually forced rebuilds
     tagged = seenmod.probe(all_urls, bloom, num_buckets=n_buckets)
     assert tagged.where(~F.col("maybe_seen")).count() == 0  # no FNs
+
+
+def test_politeness_crawl_delay_budget(spark):
+    """Robots Crawl-delay caps the per-host budget: a host with
+    delay=500ms in a 2s window serves at most 4, others the full
+    budget; order within host is unchanged."""
+    from frontier.spark import schedule
+    rows = [(f"https://h{h}.example/p{i}", h % 2 * 500, i)
+            for h in range(4) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "url string, crawl_delay_ms int, i int")
+    staged = schedule.with_host(schedule.with_url_canon(df)) \
+        .withColumn("priority", F.lit(0)) \
+        .withColumn("warc_ts", F.timestamp_micros(F.col("i")))
+    cut = schedule.politeness_cut(staged, budget_per_host=8,
+                                  delay_col="crawl_delay_ms",
+                                  window_ms=2000)
+    per_host = {r.host: r.n for r in
+                cut.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    for host, n in per_host.items():
+        if host in ("h1.example", "h3.example"):  # delay 500 → cap 4
+            assert n == 4, (host, n)
+        else:
+            assert n == 8, (host, n)
+    # within-host order is still rank by (priority, warc_ts, url)
+    first = cut.where(F.col("rank_in_host") == 1) \
+        .select("host", "url_canon").collect()
+    assert all(r.url_canon.endswith("/p0") for r in first)

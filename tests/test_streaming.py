@@ -90,3 +90,30 @@ def test_rate_limited_hosts_state(spark, sf_dir, pages_dir,
     got = spark.read.parquet(out)
     assert got.where(F.col("n_allowed") > 5).count() == 0
     assert got.where(F.col("n_requested") > F.col("n_allowed")).count() > 0
+
+
+def test_first_seen_texts_exactly_once(spark, sf_dir, pages_dir,
+                                       tmp_path_factory):
+    """Stateful streaming seen-set: a url emitted in trigger 1 is
+    suppressed when the same url arrives again in trigger 2."""
+    out = str(tmp_path_factory.mktemp("seen_out"))
+    ckpt = str(tmp_path_factory.mktemp("seen_ckpt"))
+    src = str(tmp_path_factory.mktemp("seen_src"))
+
+    batch = spark.read.parquet(pages_dir)
+    batch.limit(100).write.mode("append").parquet(src)
+    stream = streaming.first_seen_texts(
+        streaming.stream_extract(streaming.stream_pages(spark, src)))
+    streaming.run_available_now(stream, out, ckpt, output_mode="append")
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    # second batch: 150 rows of which 100 are the SAME urls again
+    batch.limit(150).write.mode("append").parquet(src)
+    stream = streaming.first_seen_texts(
+        streaming.stream_extract(streaming.stream_pages(spark, src)))
+    streaming.run_available_now(stream, out, ckpt, output_mode="append")
+    got = spark.read.parquet(out)
+    assert got.count() == 150  # only the 50 new urls added
+    assert got.groupBy("url_canon").count() \
+        .where(F.col("count") > 1).count() == 0

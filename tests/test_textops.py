@@ -116,3 +116,55 @@ def test_simhash_matches_pure_python(docs):
         if want >= 1 << 63:
             want -= 1 << 64
         assert vals[doc_id] == want, doc_id
+
+
+def test_bpe_token_count_matches_re(docs):
+    import re
+    pat = re.compile(textops.BPE_ISH_PATTERN)
+    want = {r.doc_id: (len(r.text.split()), len(pat.findall(r.text)))
+            for r in docs.collect()}
+    got = {r.doc_id: (r.n_ws_tokens, r.n_bpe_tokens)
+           for r in textops.bpe_token_count(docs).collect()}
+    assert got == want
+    fert = {r.doc_id: r.fertility
+            for r in textops.bpe_token_count(docs).collect()}
+    for d, (ws, bpe) in want.items():
+        assert abs(fert[d] - bpe / max(ws, 1)) < 1e-12
+
+
+def test_winnow_fingerprints_match_pure_python(docs):
+    import hashlib
+    k, w = 4, 8
+    got = {r.doc_id: sorted(r.fingerprints)
+           for r in textops.winnow_fingerprints(docs).collect()}
+    for r in docs.collect():
+        t = r.text.lower()
+        if len(t) < k:
+            assert got[r.doc_id] == []
+            continue
+        hs = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(len(t) - k + 1)]
+        if len(hs) >= w:
+            want, seen = [], set()
+            for i in range(len(hs) - w + 1):
+                m = min(hs[i:i + w])
+                if m not in seen:
+                    seen.add(m)
+                    want.append(m)
+        else:
+            want = [min(hs)]
+        assert got[r.doc_id] == sorted(want), r.doc_id
+
+
+def test_winnow_robust_to_local_edit(spark):
+    """The MOSS property: a small local edit changes only nearby
+    fingerprints — most survive."""
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    edited = base.replace("lazy", "hazy", 1)
+    df = spark.createDataFrame(
+        [(0, base), (1, edited)], "doc_id long, text string")
+    fps = {r.doc_id: set(r.fingerprints)
+           for r in textops.winnow_fingerprints(df).collect()}
+    inter = len(fps[0] & fps[1])
+    union = len(fps[0] | fps[1])
+    assert inter / union > 0.5, (inter, union)
