@@ -252,6 +252,23 @@ def q_winnow_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_training_select(spark, sf_dir):
+    """Composed training-set selection — the operators' end use:
+    token/quality stats + language gate deciding which documents
+    enter a training corpus. Exercises multi-operator composition
+    (two joins) under one oracle."""
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    stats = textops.token_stats(docs)
+    lang = textops.lang_guess(docs)
+    return (docs.select("doc_id").join(stats, "doc_id")
+            .join(lang.select("doc_id", "lang_guess"), "doc_id")
+            .where((F.col("n_tokens") >= 5) &
+                   (F.col("alpha_ratio") >= 0.5) &
+                   (F.col("lang_guess") != "C"))
+            .select("doc_id", "n_tokens", "lang_guess"))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -488,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprint": q_winnow_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "training_select": q_training_select,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -879,6 +897,28 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [list_min(h)] END AS fps
               FROM hs)
             SELECT doc_id, UNNEST(fps) AS fp FROM prints""",
+        "training_select": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS INTEGER) AS n_tokens,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     CASE
+                       WHEN (length(text)-length(replace(text,'data','')))//4
+                            >= (length(text)-length(replace(text,'query','')))//5
+                        AND (length(text)-length(replace(text,'data','')))//4
+                            >= (length(text)-length(replace(text,'join','')))//4
+                         THEN 'A'
+                       WHEN (length(text)-length(replace(text,'query','')))//5
+                            >= (length(text)-length(replace(text,'join','')))//4
+                         THEN 'B'
+                       ELSE 'C' END AS lang_guess
+              FROM documents)
+            SELECT doc_id, n_tokens, lang_guess
+            FROM s
+            WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
+              AND lang_guess != 'C'""",
         "ann_ivf_topk": """
             WITH cents AS (
               SELECT vec_id AS cell_id, embedding AS c

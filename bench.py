@@ -78,8 +78,8 @@ def main():
     # co-partition instead — same plan shape, no broadcast.)
     robots = synth.robots_df(spark)
 
-    def headline():
-        frontier = pages_table.select("url", "warc_ts") \
+    def headline(pages, fetch):
+        frontier = pages.select("url", "warc_ts") \
             .withColumn("priority", F.lit(0))
         staged = schedule.with_host(schedule.with_url_canon(frontier))
         gated = schedule.apply_robots(staged, robots) \
@@ -87,17 +87,39 @@ def main():
         cut = schedule.politeness_cut(gated, budget_per_host=1000)
         ordered = schedule.fetch_order(cut, num_partitions=cpus) \
             .select("url")
-        fetched = pages_table.join(F.broadcast(ordered), "url")
+        fetched = fetch(pages, ordered)
         return parse.extract_main_text(fetched) \
             .where(F.col("text").isNotNull()).count()
 
+    def bcast(pages, ordered):
+        return pages.join(F.broadcast(ordered), "url")
+
+    def copart(pages, ordered):
+        return pages.join(ordered.hint("shuffle_hash"), "url")
+
+    # bucketed copy of the pages table for the co-partitioned fetch
+    # (setup, untimed): one file per bucket, bucket count = cores
+    tbl = f"bench_pages_sf{sf.replace('.', '_')}_x{amplify}_b{cpus}"
+    if not spark.catalog.tableExists(tbl):
+        (pages_table.repartition(cpus, "url")
+         .write.mode("overwrite").bucketBy(cpus, "url")
+         .option("path", f"/tmp/frontier_bench_bucketed_{tbl}")
+         .format("parquet").saveAsTable(tbl))
+    pages_bucketed = spark.table(tbl)
+
     # best-of-2: first pass absorbs residual cold-cache effects, the
     # min is the steady-state number the scaling comparison needs
-    n_scheduled = timed("frontier_schedule_parse_cold", headline)
-    n_scheduled = timed("frontier_schedule_parse", headline)
-    timings["frontier_schedule_parse"] = min(
-        timings["frontier_schedule_parse"],
-        timings.pop("frontier_schedule_parse_cold"))
+    def best_of_2(name, fn):
+        timed(name + "_cold", fn)
+        out = timed(name, fn)
+        timings[name] = min(timings[name], timings.pop(name + "_cold"))
+        return out
+
+    n_scheduled = best_of_2(
+        "frontier_schedule_parse",
+        lambda: headline(pages_table, bcast))
+    best_of_2("frontier_schedule_parse_bucketed",
+              lambda: headline(pages_bucketed, copart))
 
     # --- operator benchmarks ------------------------------------------
     pages_cached = pages_table

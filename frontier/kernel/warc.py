@@ -1,0 +1,96 @@
+"""Minimal WARC (ISO 28500) record codec — the Common-Crawl container.
+
+The north_star input is "Common-Crawl-style web pages"; real Common
+Crawl ships WARC files, so the engine reads/writes them natively:
+one ``response`` record per page, the page's MHTML bytes as the
+record block. Plain (non-gzip) records — the member-gzip variant is
+a transparent wrapper a real deployment adds at the IO layer.
+
+Record grammar (WARC/1.1 §4): version line ``WARC/1.0`` CRLF, header
+block (same ``Name: value`` + CRLF folding as MIME — the mime-kernel
+header parser is reused verbatim), empty line, ``Content-Length``
+bytes of block, CRLF CRLF. Offsets are returned, never copies — the
+Spark source slices blocks zero-copy from the file bytes, exactly
+like the MHTML parse kernel (parse.py provenance offsets).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from . import mime
+
+CRLF = b"\r\n"
+VERSION = b"WARC/1.0"
+
+
+def parse_warc_records(buf: bytes):
+    """→ list of (headers, block_start, block_end).
+
+    Malformed input raises (callers in Spark kernels catch per-file,
+    SURVEY.md §2.8); records with a bad Content-Length are clamped to
+    the buffer so one truncated tail record can't read out of range.
+    """
+    records = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        while buf[pos:pos + 2] == CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        line, nxt = mime.next_line(buf, pos)
+        if not line.startswith(VERSION.split(b"/")[0] + b"/"):
+            raise ValueError(f"bad WARC version line at {pos}: {line[:20]!r}")
+        if nxt == -1:
+            raise ValueError("record header truncated")
+        headers, body = mime.parse_header(buf, nxt)
+        try:
+            clen = int(headers.get("Content-Length") or 0)
+        except ValueError as exc:
+            raise ValueError("bad Content-Length") from exc
+        end = min(body + clen, n)
+        records.append((headers, body, end))
+        pos = end
+    return records
+
+
+def encode_record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    """One WARC record; Content-Length computed, never trusted."""
+    out = bytearray(VERSION + CRLF)
+    for name, value in headers:
+        if name.lower() == "content-length":
+            continue
+        out += f"{name}: {value}".encode() + CRLF
+    out += f"Content-Length: {len(block)}".encode() + CRLF
+    out += CRLF
+    out += block
+    out += CRLF + CRLF
+    return bytes(out)
+
+
+def format_warc_date(ts_us: int) -> str:
+    """Microsecond-precision WARC-Date (WARC/1.1 allows sub-second)."""
+    dt = datetime.fromtimestamp(ts_us / 1_000_000, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def parse_warc_date(value: str) -> int:
+    """WARC-Date → epoch micros (accepts with/without sub-second)."""
+    v = value.strip()
+    if v.endswith("Z"):
+        v = v[:-1] + "+00:00"
+    dt = datetime.fromisoformat(v)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1_000_000)
+
+
+def page_record(url: str, ts_us: int, html: bytes) -> bytes:
+    """pages-relation row → WARC response record."""
+    return encode_record([
+        ("WARC-Type", "response"),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", format_warc_date(ts_us)),
+        ("Content-Type", "multipart/related"),
+    ], html)

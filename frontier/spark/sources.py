@@ -106,6 +106,88 @@ def write_part_files(resources: DataFrame, out_dir: str) -> None:
     slim.foreachPartition(dump)
 
 
+def write_warc_files(pages: DataFrame, out_dir: str) -> None:
+    """pages → WARC files (ISO 28500, the Common-Crawl container):
+    one ``response`` record per page (MHTML bytes as the block), one
+    ``.warc`` file per partition — executor-side fan-out, no driver
+    collect. Round-trips byte-exactly through ingest_warc_files
+    (tests/test_warc.py)."""
+    import uuid
+
+    from frontier.kernel import warc as kwarc
+
+    os.makedirs(out_dir, exist_ok=True)
+    slim = pages.select(
+        "url",
+        (F.unix_micros(F.col("warc_ts"))).alias("ts_us"),
+        "html")
+
+    def dump(rows):
+        fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+        wrote = False
+        with open(fname, "wb") as fh:
+            for row in rows:
+                fh.write(kwarc.page_record(
+                    row["url"], int(row["ts_us"]), bytes(row["html"])))
+                wrote = True
+        if not wrote:
+            os.remove(fname)  # empty partition: no empty file
+
+    slim.foreachPartition(dump)
+
+
+def ingest_warc_files(spark: SparkSession, path: str,
+                      glob: str = "*.warc") -> DataFrame:
+    """Directory of WARC files → pages(url, warc_ts, html, text, lang).
+
+    binaryFile source (one file per row, whole-file bytes), then an
+    Arrow kernel splits records by Content-Length offsets and slices
+    blocks zero-copy. url ← WARC-Target-URI, warc_ts ← WARC-Date
+    (microsecond precision). A malformed FILE is skipped, never fails
+    the task (§2.8); a clamped tail record yields a short block.
+    """
+    import pyarrow as pa
+
+    from frontier.kernel import warc as kwarc
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob)
+           .load(path)
+           .select("content"))
+
+    def split(batches):
+        for batch in batches:
+            blobs = batch.column("content").to_pylist()
+            urls, tss, htmls, texts, langs = [], [], [], [], []
+            for blob in blobs:
+                try:
+                    records = kwarc.parse_warc_records(blob)
+                except Exception:
+                    continue  # malformed file: skip, never fail task
+                for headers, start, end in records:
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    date = headers.get("WARC-Date")
+                    try:
+                        ts = kwarc.parse_warc_date(date) if date else 0
+                    except ValueError:
+                        ts = 0
+                    urls.append(headers.get("WARC-Target-URI"))
+                    tss.append(ts)
+                    htmls.append(blob[start:end])
+                    texts.append(None)
+                    langs.append(None)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(htmls, pa.binary()),
+                 pa.array(texts, pa.string()),
+                 pa.array(langs, pa.string())],
+                names=["url", "warc_ts", "html", "text", "lang"])
+
+    return raw.mapInArrow(split, PAGES_DDL)
+
+
 def write_bucketed_page_index(page_index: DataFrame, table: str,
                               path: str, n_buckets: int = 64) -> None:
     """Persist the fetch-lookup index as a BUCKETED parquet table

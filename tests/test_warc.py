@@ -1,0 +1,76 @@
+"""WARC source/sink: kernel codec round trip + Spark ingest parity."""
+
+import pytest
+
+from frontier.kernel import warc
+
+
+def test_record_roundtrip_kernel():
+    block = b"\xff\x00binary block with\r\nCRLFs and WARC/1.0 inside"
+    rec = warc.page_record("https://h.example/p", 1735689600_123456,
+                           block)
+    records = warc.parse_warc_records(rec * 3)  # concatenated records
+    assert len(records) == 3
+    for headers, start, end in records:
+        assert headers.get("WARC-Target-URI") == "https://h.example/p"
+        assert (rec * 3)[start:end] == block
+        assert warc.parse_warc_date(headers.get("WARC-Date")) \
+            == 1735689600_123456
+
+
+def test_warc_date_roundtrip_micros():
+    for us in (0, 1735689600_000001, 1735689600_999999):
+        assert warc.parse_warc_date(warc.format_warc_date(us)) == us
+    assert warc.parse_warc_date("2025-01-01T00:00:00Z") \
+        == 1735689600_000000
+
+
+def test_truncated_tail_record_clamped():
+    rec = warc.page_record("https://h.example/p", 0, b"0123456789")
+    cut = rec[:-8]  # chop into the block
+    records = warc.parse_warc_records(cut)
+    assert len(records) == 1
+    headers, start, end = records[0]
+    assert end == len(cut)  # clamped, no out-of-range read
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        warc.parse_warc_records(b"NOT A WARC\r\n\r\n")
+
+
+def test_spark_warc_roundtrip(spark, sf_dir, tmp_path):
+    """pages → .warc files → ingest: byte-identical html, url,
+    microsecond warc_ts for every page."""
+    import pyspark.sql.functions as F
+
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(120).cache()
+    out = str(tmp_path / "warcs")
+    sources.write_warc_files(pages, out)
+
+    back = sources.ingest_warc_files(spark, out)
+    a = {r.url: (int(r.warc_ts.timestamp() * 1_000_000), bytes(r.html))
+         for r in pages.select("url", "warc_ts", "html").collect()}
+    b = {r.url: (int(r.warc_ts.timestamp() * 1_000_000), bytes(r.html))
+         for r in back.collect()}
+    assert a == b
+    # and the ingested pages parse like the originals
+    from frontier.spark import parse
+    n = parse.extract_main_text(back) \
+        .where(F.col("text").isNotNull()).count()
+    assert n > 100
+
+
+def test_spark_warc_skips_corrupt_file(spark, sf_dir, tmp_path):
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(10).cache()
+    out = tmp_path / "warcs"
+    sources.write_warc_files(pages, str(out))
+    (out / "junk.warc").write_bytes(b"\x00\x01 not warc at all")
+    back = sources.ingest_warc_files(spark, str(out))
+    assert back.count() == 10  # junk file skipped, no task failure
