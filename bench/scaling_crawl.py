@@ -1,0 +1,108 @@
+"""Crawl-LOOP two-width scaling — end-to-end evidence for the
+round-2 driver-serial-work cut.
+
+Same single-JVM width-limit methodology as scaling_single_jvm.py, but
+the measured unit is a full crawl ROUND through ``crawl.crawl``:
+robots gate → salted politeness cut → fetch join → discovery → Bloom
+∪ + exact seen update → snapshot COMMIT (parquet writes + footer
+metrics + observations). This is the loop whose round-1 shape spent
+~6 recomputations of its lineage on driver-side actions; round 2 runs
+exactly ONE pre-commit action per round.
+
+Setup (untimed): the fused page index is materialized to tmpfs at N
+partitions; seeds = every 5th page. Each timed run starts from a
+fresh store (same work every time) in tmpfs.
+
+Output: printed table + BENCH/scaling_crawl_raw.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    amplify = int(os.environ.get("FRONTIER_BENCH_AMPLIFY", "400"))
+    rounds = int(os.environ.get("FRONTIER_SCALING_ROUNDS", "2"))
+    crawl_rounds = int(os.environ.get("FRONTIER_CRAWL_ROUNDS", "2"))
+
+    from pyspark.sql import functions as F
+
+    from frontier import synth
+    from frontier.spark import crawl
+    from frontier.spark.session import get_spark
+    from frontier.spark.snapshots import SnapshotStore
+
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    spark = get_spark(app="frontier-crawl-scaling", cores=32,
+                      shuffle_partitions=32,
+                      extra={"spark.sql.adaptive.enabled": "false"})
+
+    pages_path = f"/dev/shm/frontier_bench/pages_x{amplify}"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        synth.pages_from_documents(spark, sf_dir, amplify=amplify) \
+            .write.mode("overwrite").parquet(pages_path)
+    index_path = f"/dev/shm/frontier_bench/page_index_x{amplify}"
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        crawl.prepare_page_index(spark.read.parquet(pages_path)) \
+            .write.mode("overwrite").parquet(index_path)
+
+    robots = synth.robots_df(spark).cache()
+    robots.count()
+    n_pages = spark.read.parquet(index_path).count()
+
+    def one_crawl(par: int) -> float:
+        spark.conf.set("spark.sql.shuffle.partitions", str(par))
+        page_index = spark.read.parquet(index_path).coalesce(par) \
+            .persist()
+        page_index.count()
+        seeds = (page_index
+                 .where(F.col("url_canon").isNotNull())
+                 .select(F.col("url_canon").alias("url"))
+                 .withColumn("priority", F.lit(0))
+                 .withColumn("source_rank",
+                             F.monotonically_increasing_id()))
+        store_dir = f"/dev/shm/frontier_bench/crawl_store_{par}"
+        shutil.rmtree(store_dir, ignore_errors=True)
+        store = SnapshotStore(store_dir)
+        fetch_mode = os.environ.get("FRONTIER_FETCH_MODE", "auto")
+        t0 = time.perf_counter()
+        crawl.crawl(spark, page_index, seeds, robots, store,
+                    budget_per_host=1000, max_rounds=crawl_rounds,
+                    num_buckets=64, fetch_mode=fetch_mode)
+        took = time.perf_counter() - t0
+        page_index.unpersist()
+        return took
+
+    one_crawl(8)
+    one_crawl(32)
+    best = {8: 1e9, 32: 1e9}
+    for rnd in range(rounds):
+        for par in (8, 32):
+            took = one_crawl(par)
+            best[par] = min(best[par], took)
+            print(f"round {rnd} par={par}: {took:.2f}s", flush=True)
+
+    t8, t32 = best[8], best[32]
+    eff = t8 / t32 / 4
+    md = (f"# crawl-loop scaling raw ({n_pages:,} pages, "
+          f"{crawl_rounds} crawl rounds, budget 1000/host)\n\n"
+          f"| width | wall s |\n|---|---|\n"
+          f"| 8-wide | {t8:.2f} |\n| 32-wide | {t32:.2f} |\n\n"
+          f"raw N→4N efficiency = {eff:.3f}\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_crawl_raw.md"),
+              "w") as fh:
+        fh.write(md)
+    print(f"crawl loop: {t8:.2f}s -> {t32:.2f}s  eff={eff:.3f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

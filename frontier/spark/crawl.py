@@ -64,7 +64,13 @@ def prepare_page_index(pages: DataFrame) -> DataFrame:
             .dropDuplicates(["url_canon"]))
 
 
-DEFAULT_BROADCAST_FETCH_MAX = 10_000_000  # rows; ~10M slim keys ≈ 1 GB
+# Measured (bench/scaling_crawl.py, 2M pages, 1M-row batch): the
+# co-partitioned fetch beats broadcast end-to-end at 1M rows already
+# (41 s vs 57 s for a 2-round crawl) — driver hash-relation build +
+# per-task rebuild dwarf the slim-batch shuffle well before the
+# classic "fits in memory" limit. Broadcast only genuinely small
+# batches.
+DEFAULT_BROADCAST_FETCH_MAX = 250_000
 
 
 def fetch_pages(page_index: DataFrame, batch: DataFrame,
@@ -165,6 +171,10 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
             staged = staged.where(F.col("robots_allowed"))
             blocked = blocked.unionByName(newly_blocked) \
                 .dropDuplicates(["url_canon"])
+        # slim (no page bytes) and consumed twice — the politeness cut
+        # AND the leftover anti-join inside the frontier write; without
+        # persist the gate chain recomputes at commit time
+        staged = staged.persist()
 
         # 2. politeness budget (skew-safe two-phase top-k). Persisted:
         # the batch feeds the fetch join, the leftover anti-join, the
@@ -176,6 +186,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         n_scheduled = batch.count()
         if n_scheduled == 0:
             batch.unpersist()
+            staged.unpersist()
             break
         leftover = staged.select(*FRONTIER_COLS) \
             .join(batch.select("url_canon"), "url_canon", "left_anti")
@@ -281,6 +292,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         }, metrics)
         batch.unpersist()
         fetched.unpersist()
+        staged.unpersist()
 
         rebuild_bloom = bool(
             store.manifest()["metrics"].get("bloom_rebuild_next", False))
