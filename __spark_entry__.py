@@ -252,6 +252,19 @@ def q_winnow_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: LSH candidate pairs → connected
+    components (min-label fixpoint), one representative per
+    component. Oracle: DuckDB WITH RECURSIVE transitive closure."""
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    sig = textops.minhash_signatures(docs, n_hashes=4).persist()
+    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2) \
+        .localCheckpoint(eager=True)
+    sig.unpersist()
+    return textops.dedup_clusters(pairs)
+
+
 def q_training_select(spark, sf_dir):
     """Composed training-set selection — the operators' end use:
     token/quality stats + language gate deciding which documents
@@ -506,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "training_select": q_training_select,
+        "dedup_clusters": q_dedup_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -897,6 +911,34 @@ def oracle_sql() -> dict[str, str]:
                      ELSE [list_min(h)] END AS fps
               FROM hs)
             SELECT doc_id, UNNEST(fps) AS fp FROM prints""",
+        # RECURSIVE must ride the WITH keyword itself (it modifies the
+        # whole clause); non-recursive CTEs mix in freely
+        "dedup_clusters": _MINHASH_CTE.replace(
+            "WITH words", "WITH RECURSIVE words", 1) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band,
+                     CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key
+              FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band,
+                     CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key
+              FROM sig),
+            prs AS (
+              SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key
+               AND l.doc_id < r.doc_id),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION
+              SELECT doc_b, doc_a FROM prs),
+            walk(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, w.label FROM edges e
+              JOIN walk w ON w.node = e.b)
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM walk GROUP BY node""",
         "training_select": """
             WITH s AS (
               SELECT doc_id,

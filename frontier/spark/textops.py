@@ -250,6 +250,52 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                     .alias("jaccard")))
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Near-dup CLUSTERS from candidate pairs: connected components
+    by min-label propagation — the step real dedup pipelines need
+    after pair generation (keep ONE representative per component,
+    not per pair; pairs alone over-delete on chains a~b~c).
+
+    Iterative label propagation (the alternating large-star/small-star
+    family): every node adopts the min label among itself and its
+    neighbors until fixpoint. Iterations ≈ component diameter — small
+    for near-dup graphs; each iteration is one equi-join + groupBy-min
+    with ``localCheckpoint`` truncating the iterative lineage (without
+    it the plan grows unboundedly — same checkpointing discipline as
+    the crawl loop). The convergence test is one small driver count
+    per iteration, inherent to any fixpoint algorithm.
+
+    Returns (doc_id, cluster_id = min doc_id of the component) for
+    every doc that appears in ≥1 pair; singletons are trivially their
+    own cluster and never enter the edge relation.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"),
+                   F.col("src").alias("dst"))).distinct() \
+        .localCheckpoint(eager=True)
+    labels = sym.select(F.col("src").alias("doc_id")).distinct() \
+        .withColumn("cluster_id", F.col("doc_id")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels,
+                            sym["dst"] == labels["doc_id"])
+                   .select(F.col("src").alias("doc_id"), "cluster_id"))
+        new_labels = (labels.unionByName(nbr_min)
+                      .groupBy("doc_id")
+                      .agg(F.min("cluster_id").alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ---------------------------------------------------------------------------
 # SimHash (pure JVM: explode tokens → codegen'd per-bit sums)
 # ---------------------------------------------------------------------------

@@ -114,3 +114,32 @@ def test_discovered_links_point_to_real_pages(pages):
     resolved = links.join(known, links.url == known.target, "left_semi")
     # most links target generated pages (decoy/self links excluded)
     assert resolved.count() > 0.5 * links.count()
+
+
+def test_resources_parquet_pushdown(spark, sf_dir, tmp_path):
+    """When resources are materialized as parquet, Catalyst pushes the
+    discovered-links filters into the scan (PushedFilters) and prunes
+    to the three projected columns (ReadSchema) — the properties the
+    100 TB plan depends on."""
+    from frontier.spark import parse
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(50)
+    path = str(tmp_path / "resources")
+    parse.parse_pages(pages, with_content=False) \
+        .write.mode("overwrite").parquet(path)
+    res = spark.read.parquet(path)
+    links = parse.discovered_links(res)
+    plan = links._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PushedFilters: [" in scan
+    assert "GreaterThan(part_index,0)" in scan
+    assert "IsNotNull(content_location)" in scan
+    # column pruning: exactly the three projected columns are read —
+    # never the wide headers array or payload offsets
+    read_schema = scan.split("ReadSchema:")[1]
+    fields = {f.split(":")[0] for f in
+              read_schema.split("<")[1].rstrip(">, ").split(",")}
+    # part_index rides along: parquet pushed filters are advisory and
+    # re-evaluated after the scan, so the filter column is read too
+    assert fields == {"url", "content_location", "content_type",
+                      "part_index"}, fields

@@ -168,3 +168,14 @@ def test_winnow_robust_to_local_edit(spark):
     inter = len(fps[0] & fps[1])
     union = len(fps[0] | fps[1])
     assert inter / union > 0.5, (inter, union)
+
+
+def test_dedup_clusters_components(spark):
+    """Chain a~b~c plus pair d~e: two components, min-id labels —
+    pairs alone would over-delete on the chain."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in
+           textops.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
