@@ -252,6 +252,22 @@ def q_winnow_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_page_indegree(spark, sf_dir):
+    """Web-graph in-degree from discovered links: for every linked-to
+    page, total inbound links + distinct linking pages. The graph
+    aggregation the crawl's priority function would consume."""
+    from frontier.spark import parse
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    links = parse.discovered_links(res) \
+        .where(F.col("content_type") == "image/png")
+    return (links
+            .select(_doc_id("src_url").alias("src_doc"),
+                    _doc_id("url").alias("dst_doc"))
+            .groupBy("dst_doc")
+            .agg(F.count("*").alias("n_links"),
+                 F.countDistinct("src_doc").alias("n_sources")))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER assignment: LSH candidate pairs → connected
     components (min-label fixpoint), one representative per
@@ -520,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "training_select": q_training_select,
         "dedup_clusters": q_dedup_clusters,
+        "page_indegree": q_page_indegree,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -636,6 +653,16 @@ def oracle_sql() -> dict[str, str]:
         "mhtml_filenames": """
             SELECT doc_id, 'page' || doc_id || '.html' AS filename
             FROM documents""",
+        "page_indegree": """
+            WITH links AS (
+              SELECT d.doc_id AS src_doc,
+                     (d.doc_id*131 + 7*i.n + 1)
+                         % (SELECT COUNT(*) FROM documents) AS dst_doc
+              FROM documents d, (VALUES (0),(1),(2)) AS i(n)
+              WHERE i.n < d.doc_id % 4)
+            SELECT dst_doc, COUNT(*) AS n_links,
+                   COUNT(DISTINCT src_doc) AS n_sources
+            FROM links GROUP BY dst_doc""",
         "urlnorm_query_sort": """
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 7 THEN '?a=1&b=2' ELSE '' END

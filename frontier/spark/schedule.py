@@ -123,6 +123,52 @@ def fetch_order(frontier: DataFrame,
 # robots gating
 # ---------------------------------------------------------------------------
 
+ROBOTS_DDL = ("host string, disallow_prefixes array<string>, "
+              "crawl_delay_ms int")
+
+
+def robots_from_text(fetched_robots: DataFrame, agent: str = "frontier",
+                     host_col: str = "host",
+                     text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt bytes) → the gate relation
+    (host, disallow_prefixes, crawl_delay_ms) consumed by
+    :func:`apply_robots` — i.e. the parse step between fetching
+    /robots.txt and broadcasting the gate. Arrow-batched kernel
+    (frontier/kernel/robots.py, RFC 9309 subset); malformed or
+    undecodable robots bytes degrade to allow-all, never a task
+    failure (§2.8)."""
+    import pyarrow as pa
+
+    from frontier.kernel import robots as krobots
+
+    schema = pa.schema([
+        ("host", pa.string()),
+        ("disallow_prefixes", pa.list_(pa.string())),
+        ("crawl_delay_ms", pa.int32()),
+    ])
+
+    def kernel(batches):
+        for batch in batches:
+            hosts = batch.column(host_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            out_h, out_d, out_ms = [], [], []
+            for host, text in zip(hosts, texts):
+                try:
+                    dis, delay = krobots.rules_for_agent(
+                        text or b"", agent)
+                except Exception:
+                    dis, delay = [], 0  # junk robots: allow-all
+                out_h.append(host)
+                out_d.append(dis)
+                out_ms.append(delay)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_h, pa.string()),
+                 pa.array(out_d, pa.list_(pa.string())),
+                 pa.array(out_ms, pa.int32())], schema=schema)
+
+    return fetched_robots.select(host_col, text_col) \
+        .mapInArrow(kernel, ROBOTS_DDL)
+
 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Gate the frontier on per-host robots rules.

@@ -130,3 +130,42 @@ class SnapshotStore:
         for sid in self.snapshot_ids():
             if sid > to_snapshot_id:
                 os.remove(self._manifest_path(sid))
+
+    # -- maintenance (Iceberg expire_snapshots / compaction analogs) ----
+    def compact_results(self, spark: SparkSession,
+                        table: str = "results") -> str | None:
+        """Union every snapshot's per-round ``table`` into ONE parquet
+        under ``data/compacted/`` — the small-files compaction a
+        long crawl needs before snapshot expiration (each round
+        appends its own directory; at 10^4 rounds that is 10^4 scans
+        for a full-results read). Returns the compacted path, or None
+        when no snapshot carries the table."""
+        parts = []
+        for sid in self.snapshot_ids():
+            man = self.manifest(sid)
+            if table in man["tables"]:
+                parts.append(man["tables"][table])
+        if not parts:
+            return None
+        out = os.path.join(self.root, "data", "compacted",
+                           f"{table}-upto-{self.latest_id()}")
+        spark.read.parquet(*parts).write.mode("overwrite").parquet(out)
+        return out
+
+    def expire(self, keep_last: int) -> list[int]:
+        """Iceberg-style snapshot expiration: drop the manifests AND
+        data directories of all but the newest ``keep_last``
+        snapshots. State tables (frontier/seen/bloom) are rewritten
+        whole every round, so expiring old rounds never loses resume
+        state; per-round ``results`` history should be compacted
+        first (:meth:`compact_results`) if it matters. Returns the
+        expired snapshot ids."""
+        import shutil
+
+        ids = self.snapshot_ids()
+        drop = ids[:-keep_last] if keep_last > 0 else []
+        for sid in drop:
+            os.remove(self._manifest_path(sid))
+            shutil.rmtree(os.path.join(self.root, "data", f"snap-{sid}"),
+                          ignore_errors=True)
+        return drop
