@@ -252,6 +252,18 @@ def q_winnow_fingerprint(spark, sf_dir):
     return fp.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Crawl-priority PageRank over the discovered-links graph
+    (5 fixed iterations, d=0.85) — frontier ordering by authority."""
+    from frontier.spark import parse, textops
+    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    links = parse.discovered_links(res) \
+        .where(F.col("content_type") == "image/png")
+    edges = links.select(_doc_id("src_url").alias("src_doc"),
+                         _doc_id("url").alias("dst_doc"))
+    return textops.pagerank(edges, n_iter=5, damping=0.85)
+
+
 def q_page_indegree(spark, sf_dir):
     """Web-graph in-degree from discovered links: for every linked-to
     page, total inbound links + distinct linking pages. The graph
@@ -537,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_select": q_training_select,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
+        "pagerank": q_pagerank,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -633,6 +646,46 @@ WITH elems AS (
 """
 
 
+def _pagerank_sql(n_iter: int = 5) -> str:
+    """PageRank oracle: the identical recurrence as textops.pagerank,
+    unrolled into one CTE per iteration. (1.0 - 0.85) is written as
+    double SUBTRACTION in both engines so the IEEE bits agree."""
+    head = """
+WITH links AS (
+  SELECT d.doc_id AS src,
+         (d.doc_id*131 + 7*i.n + 1)
+             % (SELECT COUNT(*) FROM documents) AS dst
+  FROM documents d, (VALUES (0),(1),(2)) AS i(n)
+  WHERE i.n < d.doc_id % 4
+), nodes AS (
+  SELECT src AS doc_id FROM links
+  UNION
+  SELECT dst FROM links
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY src),
+r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn)
+                 AS rank FROM nodes)"""
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+r{k} AS (
+  SELECT v.doc_id,
+         (CAST(1.0 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+         + 0.85 * COALESCE(f.inflow, 0.0) AS rank
+  FROM nodes v LEFT JOIN (
+    SELECT l.dst AS doc_id,
+           SUM(r.rank / od.outdeg) AS inflow
+    FROM links l
+    JOIN od ON od.src = l.src
+    JOIN r{k - 1} r ON r.doc_id = l.src
+    GROUP BY l.dst) f ON f.doc_id = v.doc_id)""")
+    return (head + "," + ",".join(iters) +
+            f"""
+SELECT doc_id,
+       CAST(floor(rank * 1000000000) AS BIGINT) AS rank_u
+FROM r{n_iter}""")
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "mhtml_extract_text": """
@@ -653,6 +706,7 @@ def oracle_sql() -> dict[str, str]:
         "mhtml_filenames": """
             SELECT doc_id, 'page' || doc_id || '.html' AS filename
             FROM documents""",
+        "pagerank": _pagerank_sql(5),
         "page_indegree": """
             WITH links AS (
               SELECT d.doc_id AS src_doc,

@@ -250,6 +250,56 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                     .alias("jaccard")))
 
 
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the discovered-links graph — the
+    classic crawl-priority signal (frontier ordering by authority
+    instead of BFS depth).
+
+    edges: (src_doc, dst_doc). pr_0 = 1/N over all nodes appearing in
+    the graph; pr_{k+1}(v) = (1-d)/N + d·Σ_{u→v} pr_k(u)/outdeg(u).
+    Dangling-node mass is dropped (documented simplification — the
+    oracle restates the identical recurrence, so it is checked, not
+    hidden). Deterministic: fixed iteration count, no convergence
+    race; ``localCheckpoint`` truncates the iterative lineage.
+
+    Shape per iteration: one equi-join edges⋈ranks on src (ranks is
+    the small side — broadcastable at 10^10 edges when the node count
+    allows, else a co-partitioned shuffle) + one groupBy(dst) sum.
+    Returns (doc_id, rank_u) with rank floored to 1e-9 units so
+    cross-engine float addition order can't flip a value hash.
+    """
+    e = edges.select(F.col("src_doc").alias("src"),
+                     F.col("dst_doc").alias("dst"))
+    nodes = (e.select(F.col("src").alias("doc_id"))
+             .unionByName(e.select(F.col("dst").alias("doc_id")))
+             .distinct().localCheckpoint(eager=True))
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_base = e.join(out_deg, "src")  # (src, dst, outdeg)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        inflow = (contrib_base
+                  .join(ranks, contrib_base["src"] == ranks["doc_id"])
+                  .select(F.col("dst").alias("doc_id"),
+                          (F.col("rank") / F.col("outdeg"))
+                          .alias("c"))
+                  .groupBy("doc_id")
+                  .agg(F.sum("c").alias("inflow")))
+        ranks = (nodes.join(inflow, "doc_id", "left")
+                 .select("doc_id",
+                         (F.lit((1.0 - damping) / n) +
+                          F.lit(damping) *
+                          F.coalesce(F.col("inflow"), F.lit(0.0)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks.select(
+        "doc_id",
+        F.floor(F.col("rank") * 1_000_000_000).cast("bigint")
+        .alias("rank_u"))
+
+
 def dedup_clusters(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     """Near-dup CLUSTERS from candidate pairs: connected components
     by min-label propagation — the step real dedup pipelines need

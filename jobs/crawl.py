@@ -29,6 +29,13 @@ def main():
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--fetch-mode", default="auto",
+                    choices=["auto", "broadcast", "copartition"])
+    ap.add_argument("--target-fpp", type=float, default=0.02,
+                    help="bloom saturation guard threshold")
+    ap.add_argument("--compact-expire", type=int, default=0, metavar="K",
+                    help="after the crawl: compact results and expire "
+                         "all but the newest K snapshots")
     args = ap.parse_args()
 
     from frontier import synth
@@ -50,10 +57,18 @@ def main():
                            budget_per_host=args.budget,
                            max_rounds=args.rounds,
                            num_buckets=args.num_buckets,
-                           resume=args.resume)
+                           resume=args.resume,
+                           fetch_mode=args.fetch_mode,
+                           target_fpp=args.target_fpp)
     elapsed = time.perf_counter() - t0
-    results = crawl.collect_results(spark, store)
-    n_texts = results.count() if results is not None else 0
+    if args.compact_expire > 0:
+        compacted = store.compact_results(spark)
+        store.expire(keep_last=args.compact_expire)
+        n_texts = spark.read.parquet(compacted).count() \
+            if compacted else 0
+    else:
+        results = crawl.collect_results(spark, store)
+        n_texts = results.count() if results is not None else 0
     print(json.dumps({
         "rounds_done": manifest.get("metrics", {}).get("round", -1) + 1,
         "snapshot_id": manifest.get("snapshot_id"),

@@ -179,3 +179,20 @@ def test_dedup_clusters_components(spark):
     got = {r.doc_id: r.cluster_id for r in
            textops.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10}
+
+
+def test_pagerank_star_graph(spark):
+    """Star graph: the hub everyone links to outranks the leaves;
+    total rank stays <= 1 (dangling mass dropped, documented)."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)],
+        "src_doc long, dst_doc long")
+    got = {r.doc_id: r.rank_u for r in
+           textops.pagerank(edges, n_iter=5).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > got[i] for i in range(2, 6))
+    assert sum(got.values()) <= 1_000_000_000
+    # deterministic across runs
+    again = {r.doc_id: r.rank_u for r in
+             textops.pagerank(edges, n_iter=5).collect()}
+    assert got == again
