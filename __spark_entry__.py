@@ -452,6 +452,27 @@ def q_header_get(spark, sf_dir):
         F.size("headers").alias("n_headers"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (6 h gap) + per-session aggregates —
+    the fetch-stream segmentation a politeness/abuse monitor runs."""
+    from frontier.spark import eventops
+    events = _read(spark, sf_dir, "events")
+    return eventops.session_stats(events, gap_seconds=21600)
+
+
+def q_part_above_avg(spark, sf_dir):
+    """Correlated-aggregate filter shape: parts priced above their
+    brand's average (window avg, codegen'd)."""
+    part = _read(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (part
+            .withColumn("_avg", F.avg("p_retailprice").over(w))
+            .where(F.col("p_retailprice") > F.col("_avg"))
+            .select("p_partkey", "p_brand",
+                    F.floor(F.col("p_retailprice") * 100)
+                    .cast("bigint").alias("price_c")))
+
+
 def q_events_daily(spark, sf_dir):
     """Date functions: per-day event counts + value sums (cents)."""
     events = _read(spark, sf_dir, "events")
@@ -550,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
+        "sessionize": q_sessionize,
+        "part_above_avg": q_part_above_avg,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "text_sha": q_text_sha,
@@ -1100,6 +1123,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
                    3 AS n_headers
             FROM documents""",
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 21600000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s2 AS (
+              SELECT user_id, event_id, us,
+                     SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM s)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+                   MIN(event_id) AS first_event_id
+            FROM s2 GROUP BY user_id, session_seq""",
+        "part_above_avg": """
+            WITH w AS (
+              SELECT p_partkey, p_brand, p_retailprice,
+                     AVG(p_retailprice) OVER (PARTITION BY p_brand)
+                         AS brand_avg
+              FROM part)
+            SELECT p_partkey, p_brand,
+                   CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
+            FROM w WHERE p_retailprice > brand_avg""",
         "events_daily": """
             SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
