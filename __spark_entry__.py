@@ -128,6 +128,30 @@ def q_politeness_topk(spark, sf_dir):
                       "rank_in_host")
 
 
+def q_politeness_delay(spark, sf_dir):
+    """Crawl-delay-aware budgets: per-host budget capped at
+    window_ms / delay (here delay derived per host from the host
+    token so the oracle can restate it)."""
+    from frontier.spark import schedule
+    events = _read(spark, sf_dir, "events")
+    frontier = events.select(
+        F.col("event_id").cast("string").alias("url_canon"),
+        F.col("event_type").alias("host"),
+        F.col("value").alias("priority"),
+        F.col("ts").alias("warc_ts"))
+    frontier = frontier \
+        .withColumn("salt",
+                    F.pmod(F.xxhash64("url_canon"), F.lit(16)).cast("int")) \
+        .withColumn("crawl_delay_ms",
+                    (F.length("host") * 100).cast("int"))
+    cut = schedule.politeness_cut(frontier, budget_per_host=5,
+                                  delay_col="crawl_delay_ms",
+                                  window_ms=1000)
+    return cut.select(F.col("host").alias("event_type"),
+                      F.col("url_canon").cast("bigint").alias("event_id"),
+                      "rank_in_host")
+
+
 def q_pricing_summary(spark, sf_dir):
     li = _read(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
@@ -543,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_antijoin": q_seen_antijoin,
         "first_wins_dedup": q_first_wins_dedup,
         "politeness_topk": q_politeness_topk,
+        "politeness_delay": q_politeness_delay,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "region_nation_join": q_region_nation_join,
@@ -764,6 +789,17 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY value, ts, CAST(event_id AS VARCHAR)) AS rn
               FROM events) WHERE rn <= 5""",
+        "politeness_delay": """
+            SELECT event_type, event_id,
+                   CAST(rn AS INTEGER) AS rank_in_host
+            FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value, ts, CAST(event_id AS VARCHAR)) AS rn,
+                     least(5, greatest(1,
+                       1000 // (length(event_type) * 100))) AS cap
+              FROM events) WHERE rn <= cap""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT))

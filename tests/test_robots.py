@@ -92,3 +92,21 @@ def test_spark_robots_text_to_gate(spark):
     g2 = {r.url_canon: r.robots_allowed for r in
           schedule.apply_robots(staged, parsed).collect()}
     assert g1 == g2 and len(g1) == 150
+
+
+def test_robots_parser_fuzz_never_raises():
+    """robots.txt arrives as arbitrary crawled bytes: the parser must
+    ALWAYS return a well-formed rules tuple (the Spark kernel treats
+    any exception as allow-all, but the kernel itself shouldn't
+    need that net for byte junk)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(blob):
+        dis, delay = robots.rules_for_agent(blob, "frontier")
+        assert isinstance(dis, list)
+        assert all(isinstance(p, str) for p in dis)
+        assert 0 <= delay <= robots.MAX_DELAY_MS
+
+    run()

@@ -74,3 +74,43 @@ def test_spark_warc_skips_corrupt_file(spark, sf_dir, tmp_path):
     (out / "junk.warc").write_bytes(b"\x00\x01 not warc at all")
     back = sources.ingest_warc_files(spark, str(out))
     assert back.count() == 10  # junk file skipped, no task failure
+
+
+def test_warc_parser_fuzz_no_hang_no_crash():
+    """Arbitrary bytes either parse or raise ValueError/AssertionError
+    — never hang, never index out of range (§2.8 robustness class)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=400))
+    def run(blob):
+        try:
+            records = warc.parse_warc_records(blob)
+        except (ValueError, AssertionError, UnicodeDecodeError):
+            return
+        for headers, start, end in records:
+            assert 0 <= start <= end <= len(blob)
+
+    run()
+
+
+def test_warc_parser_fuzz_valid_prefix():
+    """A valid record followed by arbitrary junk: the record always
+    parses identically; the junk tail parses or raises — the crawl
+    ingests what it can."""
+    from hypothesis import given, settings, strategies as st
+
+    rec = warc.page_record("https://h.example/p", 123_000_000, b"BLOCK")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=100))
+    def run(junk):
+        try:
+            records = warc.parse_warc_records(rec + junk)
+        except (ValueError, AssertionError, UnicodeDecodeError):
+            return
+        assert records, "leading valid record must survive"
+        headers, start, end = records[0]
+        assert (rec + junk)[start:end] == b"BLOCK"
+
+    run()
