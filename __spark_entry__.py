@@ -67,7 +67,8 @@ def q_mhtml_links(spark, sf_dir):
     from frontier.spark import parse
     res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
     links = parse.discovered_links(res) \
-        .where(F.col("content_type") == "image/png")
+        .where(F.col("content_type").startswith("image/") |
+               F.col("content_type").startswith("video/"))
     return (links.select(_doc_id("src_url").alias("src_doc"),
                          _doc_id("url").alias("dst_doc"))
             .distinct())
@@ -282,7 +283,8 @@ def q_pagerank(spark, sf_dir):
     from frontier.spark import parse, textops
     res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
     links = parse.discovered_links(res) \
-        .where(F.col("content_type") == "image/png")
+        .where(F.col("content_type").startswith("image/") |
+               F.col("content_type").startswith("video/"))
     edges = links.select(_doc_id("src_url").alias("src_doc"),
                          _doc_id("url").alias("dst_doc"))
     return textops.pagerank(edges, n_iter=5, damping=0.85)
@@ -295,7 +297,8 @@ def q_page_indegree(spark, sf_dir):
     from frontier.spark import parse
     res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
     links = parse.discovered_links(res) \
-        .where(F.col("content_type") == "image/png")
+        .where(F.col("content_type").startswith("image/") |
+               F.col("content_type").startswith("video/"))
     return (links
             .select(_doc_id("src_url").alias("src_doc"),
                     _doc_id("url").alias("dst_doc"))
@@ -371,6 +374,18 @@ def q_ann_cosine_topk(spark, sf_dir):
         F.col("embedding").alias("q_embedding"))
     return ann.cosine_topk(emb, queries, k=3) \
         .select("query_id", "neighbor_id", "rank")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling: decode → featurize → explode frames →
+    keep every 2nd — sampled-frame count per video part."""
+    from frontier.spark import media, parse
+    res = parse.parse_pages(_pages(spark, sf_dir), decode=True)
+    feats = media.extract_features(media.media_resources(res))
+    sampled = media.frame_sample(feats, every=2)
+    return (sampled
+            .groupBy(_doc_id("url").alias("doc_id"), "part_index")
+            .agg(F.count("*").alias("n_sampled")))
 
 
 def q_cuckoo_antijoin(spark, sf_dir):
@@ -582,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "cuckoo_antijoin": q_cuckoo_antijoin,
         "extract_filenames_unique": q_extract_filenames_unique,
         "content_type_glob": q_content_type_glob,
@@ -935,6 +951,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
             FROM scored WHERE rn <= 3""",
+        "media_frames": """
+            SELECT d.doc_id,
+                   CAST(3 + CASE WHEN d.doc_id % 19 = 0
+                        THEN 1 ELSE 0 END AS INTEGER) AS part_index,
+                   (1 + CAST(concat('0x', substr(
+                        md5('blob:' || ((d.doc_id*131 + 7*2 + 1)
+                            % (SELECT COUNT(*) FROM documents))),
+                        5, 2)) AS INTEGER) % 4 + 1) // 2 AS n_sampled
+            FROM documents d
+            WHERE d.doc_id % 4 = 3""",
         "cuckoo_antijoin": """
             SELECT DISTINCT CAST(o_custkey + 1500 AS VARCHAR) AS url_canon
             FROM orders
@@ -957,18 +983,20 @@ def oracle_sql() -> dict[str, str]:
                        AS n_out_unique
             FROM documents d""",
         "content_type_glob": """
-            SELECT doc_id, doc_id % 4 AS n_images
+            SELECT doc_id, least(doc_id % 4, 2) AS n_images
             FROM documents WHERE doc_id % 4 > 0""",
         "media_features": """
             WITH parts AS (
               SELECT d.doc_id,
                      CAST(1 + i.n + CASE WHEN d.doc_id % 19 = 0
                           THEN 1 ELSE 0 END AS INTEGER) AS part_index,
+                     CASE WHEN i.n = 2 THEN 'video'
+                          ELSE 'image' END AS media_kind,
                      md5('blob:' || ((d.doc_id*131 + 7*i.n + 1)
                          % (SELECT COUNT(*) FROM documents))) AS h
               FROM documents d, (VALUES (0),(1),(2)) AS i(n)
               WHERE i.n < d.doc_id % 4)
-            SELECT doc_id, part_index, 'image' AS media_kind,
+            SELECT doc_id, part_index, media_kind,
                    CAST(16 + CAST(concat('0x', substr(h, 1, 2))
                         AS INTEGER) % 240 AS INTEGER) AS width,
                    CAST(16 + CAST(concat('0x', substr(h, 3, 2))

@@ -314,6 +314,16 @@ def find_next_boundary(content, boundary, from_pos):
             t_hit = content.find(terminator, pos)
             if t_hit != -1 and t_hit + len(terminator) == len(content):
                 return t_hit, -1
+            if t_hit != -1:
+                # terminator followed by trailing junk: the reference
+                # returns (t_hit, t_hit) here and parse_parts loops
+                # FOREVER re-finding the same terminator (verified
+                # against mhtml.py:682-686 — unbounded memory on
+                # adversarial bytes, caught by fuzzing). End the part
+                # list at the terminator instead; this only changes
+                # inputs where the reference never terminates, so
+                # valid-input parity is untouched.
+                return t_hit, -1
             return t_hit, t_hit
         if content[hit - 2:hit] != CRLF:
             logger.debug("boundary-like bytes inside content at %d", hit)

@@ -124,11 +124,15 @@ def build_page(doc_id: int, text: str, lang: str, n_docs: int,
     main = _part(url, "text/html", encoding, payload,
                  include_cte=not (omit_cte and encoding == "binary"))
     subparts = []
-    for target in links_for(doc_id, n_docs):
+    for i, target in enumerate(links_for(doc_id, n_docs)):
         # md5, not blake2b: the media-features oracle restates the
-        # codec's byte arithmetic in SQL, and DuckDB only has md5
+        # codec's byte arithmetic in SQL, and DuckDB only has md5.
+        # The third subresource (i == 2, docs with doc_id%4 == 3) is
+        # a VIDEO part so the frame-sampling path has real rows —
+        # rule is pure doc_id arithmetic for the oracle.
         blob = hashlib.md5(f"blob:{target}".encode()).digest()
-        subparts.append(_part(url_for(target), "image/png", "base64", blob))
+        ctype = "video/mp4" if i == 2 else "image/png"
+        subparts.append(_part(url_for(target), ctype, "base64", blob))
 
     # displacement must be a pure function of doc_id so the DuckDB
     # oracle can state it as CASE WHEN doc_id % 19 = 0 THEN NULL ...

@@ -159,3 +159,65 @@ def test_is_main_uses_snapshot_location_not_url(spark):
     listing = extract.list_parts(res).collect()
     assert len(listing) == 1
     assert listing[0].is_main  # url != snapshot_location, still main
+
+
+def test_parse_mhtml_fuzz_no_hang():
+    """parse_mhtml on arbitrary bytes: parses or raises, never hangs,
+    never returns out-of-range offsets (locks in the bounded
+    TAB-unfold fix at the kernel surface)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=500))
+    def run(blob):
+        try:
+            headers, parts = mime.parse_mhtml(blob)
+        except Exception:
+            return  # the Spark kernels catch per page
+        for phdr, start, cstart, end in parts or []:
+            assert 0 <= start <= len(blob)
+            assert cstart == -1 or start <= cstart <= len(blob)
+            assert end <= len(blob)
+
+    run()
+
+
+def test_parse_mhtml_fuzz_crlf_structured():
+    """Structured fuzz: CRLF-joined header-ish lines with TABs and
+    boundary markers — the shapes that previously hung or crashed."""
+    from hypothesis import given, settings, strategies as st
+
+    token = st.sampled_from(
+        [b"A: B", b"\t", b"--b", b"--b--", b"", b"Content-Type: "
+         b'multipart/related; boundary="b"', b"\tX", b"junk"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(token, max_size=12))
+    def run(lines):
+        blob = b"\r\n".join(lines)
+        try:
+            mime.parse_mhtml(blob)
+        except Exception:
+            pass
+
+    run()
+
+
+def test_terminator_with_trailing_junk_terminates():
+    """Terminator boundary NOT at EOF (trailing junk after --b--):
+    the reference loops forever appending parts (mhtml.py:682-686,
+    verified) — we must terminate, keeping the parts before the
+    terminator. Found by fuzzing (runaway 33 GB pytest process)."""
+    doc = (
+        b"From: <x>\r\n"
+        b"Snapshot-Content-Location: https://h/p\r\n"
+        b'Content-Type: multipart/related;\r\n\tboundary="b"\r\n'
+        b"\r\n\r\n"
+        b"--b\r\nContent-Type: text/html\r\n"
+        b"Content-Location: https://h/p\r\n\r\nhello\r\n"
+        b"--b--\r\n"
+        b"TRAILING JUNK AFTER TERMINATOR")
+    headers, parts = mime.parse_mhtml(doc)
+    assert len(parts) == 1
+    phdr, start, cstart, end = parts[0]
+    assert doc[cstart:end].startswith(b"hello")

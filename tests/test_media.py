@@ -21,7 +21,8 @@ def test_media_resources_filter(resources):
     m = media.media_resources(resources)
     kinds = {r.media_kind for r in m.select("media_kind")
              .distinct().collect()}
-    assert kinds == {"image"}  # synth emits image/png subresources
+    # synth: image/png subresources + a video/mp4 third part
+    assert kinds == {"image", "video"}
     assert m.where(F.col("n_bytes") <= 0).count() == 0
 
 
@@ -41,12 +42,16 @@ def test_extract_features_deterministic_shape(resources):
 
 
 def test_frame_sample_explodes_video_only(resources, spark):
-    # no video in synth corpus → empty result, correct schema
+    # synth corpus carries video parts (doc_id%4==3) → sampled rows,
+    # and ONLY from video parts
     m = media.media_resources(resources)
     feats = media.extract_features(m)
     sampled = media.frame_sample(feats, every=2)
     assert sampled.columns == ["url", "part_index", "frame_idx"]
-    assert sampled.count() == 0
+    assert sampled.count() > 0
+    n_videos = m.where(F.col("media_kind") == "video").count()
+    per_part = sampled.groupBy("url", "part_index").count()
+    assert per_part.count() == n_videos
     # synthetic video row exercises the explode shape
     vid = spark.createDataFrame(
         [("u", 1, "video", 100, 80, 4, [0.0] * 8)],
