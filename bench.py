@@ -100,11 +100,23 @@ def main():
     # bucketed copy of the pages table for the co-partitioned fetch
     # (setup, untimed): one file per bucket, bucket count = cores
     tbl = f"bench_pages_sf{sf.replace('.', '_')}_x{amplify}_b{cpus}"
-    if not spark.catalog.tableExists(tbl):
+    tbl_path = f"/tmp/frontier_bench_bucketed_{tbl}"
+    # the derby metastore does not persist across driver sessions, so
+    # source of truth is the DATA on disk: write it once, then
+    # (re)register the external bucketed table in this session's
+    # catalog if needed
+    if not os.path.exists(os.path.join(tbl_path, "_SUCCESS")):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (pages_table.repartition(cpus, "url")
          .write.mode("overwrite").bucketBy(cpus, "url")
-         .option("path", f"/tmp/frontier_bench_bucketed_{tbl}")
+         .option("path", tbl_path)
          .format("parquet").saveAsTable(tbl))
+    elif not spark.catalog.tableExists(tbl):
+        spark.sql(
+            f"CREATE TABLE {tbl} (url STRING, warc_ts TIMESTAMP, "
+            f"html BINARY, text STRING, lang STRING) USING parquet "
+            f"CLUSTERED BY (url) INTO {cpus} BUCKETS "
+            f"LOCATION '{tbl_path}'")
     pages_bucketed = spark.table(tbl)
 
     # best-of-2: first pass absorbs residual cold-cache effects, the
