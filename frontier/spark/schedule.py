@@ -44,10 +44,26 @@ def _canon_udf():
     return _canon_udf_cache
 
 
-def with_url_canon(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Canonicalized URL column — Arrow-batched pandas UDF (the only
-    Python in the scheduler; everything else is codegen'd)."""
-    return df.withColumn("url_canon", _canon_udf()(F.col(url_col)))
+def with_url_canon(df: DataFrame, url_col: str = "url",
+                   impl: str = "jvm") -> DataFrame:
+    """Canonicalized URL column.
+
+    ``impl="jvm"`` (default): pure Catalyst expression chain
+    (frontier/spark/urlcanon.py) — stays inside whole-stage codegen,
+    scales with executor cores. Round-2 profiling showed the pandas
+    variant was the crawl loop's only width-flat stage.
+
+    ``impl="pandas"``: the original Arrow-batched pandas UDF over the
+    kernel — kept as the differential oracle (and for callers that
+    want the kernel's exact Python execution).
+    """
+    if impl == "jvm":
+        from frontier.spark import urlcanon
+        return df.withColumn("url_canon",
+                             urlcanon.canon_expr(F.col(url_col)))
+    if impl == "pandas":
+        return df.withColumn("url_canon", _canon_udf()(F.col(url_col)))
+    raise ValueError(f"unknown url-canon impl: {impl!r}")
 
 
 def with_host(df: DataFrame, canon_col: str = "url_canon",
@@ -123,27 +139,44 @@ def fetch_order(frontier: DataFrame,
 # robots gating
 # ---------------------------------------------------------------------------
 
-ROBOTS_DDL = ("host string, disallow_prefixes array<string>, "
-              "crawl_delay_ms int")
+RULES_DDL = "array<struct<pat:string,re:string,spec:int,allow:boolean>>"
+ROBOTS_DDL = f"host string, rules {RULES_DDL}, crawl_delay_ms int"
+
+
+def rules_relation(spark, host_rules: list) -> DataFrame:
+    """[(host, [(pattern, allow)], delay_ms)] → the gate relation —
+    compiles each rule via the kernel so hand-built rules and
+    :func:`robots_from_text` output are byte-identical."""
+    from frontier.kernel import robots as krobots
+
+    rows = [(host,
+             [(p, krobots.compile_pattern(p), len(p), a)
+              for p, a in rules],
+             delay_ms)
+            for host, rules, delay_ms in host_rules]
+    return spark.createDataFrame(rows, ROBOTS_DDL)
 
 
 def robots_from_text(fetched_robots: DataFrame, agent: str = "frontier",
                      host_col: str = "host",
                      text_col: str = "robots_txt") -> DataFrame:
     """(host, robots_txt bytes) → the gate relation
-    (host, disallow_prefixes, crawl_delay_ms) consumed by
+    (host, rules array<struct>, crawl_delay_ms) consumed by
     :func:`apply_robots` — i.e. the parse step between fetching
     /robots.txt and broadcasting the gate. Arrow-batched kernel
-    (frontier/kernel/robots.py, RFC 9309 subset); malformed or
-    undecodable robots bytes degrade to allow-all, never a task
-    failure (§2.8)."""
+    (frontier/kernel/robots.py, RFC 9309 incl. Allow + wildcards);
+    each rule ships pre-compiled (pattern, regex, specificity, allow)
+    so the gate itself is pure JVM. Malformed or undecodable robots
+    bytes degrade to allow-all, never a task failure (§2.8)."""
     import pyarrow as pa
 
     from frontier.kernel import robots as krobots
 
+    rule_type = pa.struct([("pat", pa.string()), ("re", pa.string()),
+                           ("spec", pa.int32()), ("allow", pa.bool_())])
     schema = pa.schema([
         ("host", pa.string()),
-        ("disallow_prefixes", pa.list_(pa.string())),
+        ("rules", pa.list_(rule_type)),
         ("crawl_delay_ms", pa.int32()),
     ])
 
@@ -151,32 +184,57 @@ def robots_from_text(fetched_robots: DataFrame, agent: str = "frontier",
         for batch in batches:
             hosts = batch.column(host_col).to_pylist()
             texts = batch.column(text_col).to_pylist()
-            out_h, out_d, out_ms = [], [], []
+            out_h, out_r, out_ms = [], [], []
             for host, text in zip(hosts, texts):
                 try:
-                    dis, delay = krobots.rules_for_agent(
+                    rules, delay = krobots.rules_for_agent(
                         text or b"", agent)
+                    compiled = [
+                        {"pat": p, "re": krobots.compile_pattern(p),
+                         "spec": len(p), "allow": a}
+                        for p, a in rules]
                 except Exception:
-                    dis, delay = [], 0  # junk robots: allow-all
+                    compiled, delay = [], 0  # junk robots: allow-all
                 out_h.append(host)
-                out_d.append(dis)
+                out_r.append(compiled)
                 out_ms.append(delay)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_h, pa.string()),
-                 pa.array(out_d, pa.list_(pa.string())),
+                 pa.array(out_r, pa.list_(rule_type)),
                  pa.array(out_ms, pa.int32())], schema=schema)
 
     return fetched_robots.select(host_col, text_col) \
         .mapInArrow(kernel, ROBOTS_DDL)
 
 
+def robots_allowed_expr(path, rules):
+    """RFC 9309 §2.2.2 precedence as ONE JVM expression (no Python):
+    among matching rules, the longest pattern decides; exact tie →
+    Allow; no matching rule (or no rules row) → allowed.
+
+    ``array_max`` over ``struct(spec, allow)`` is exactly
+    longest-match-wins with Allow tie-break (struct comparison is
+    lexicographic by field; true > false). Pattern regexes were
+    compiled once at parse time (kernel.compile_pattern) — portable
+    between java.util.regex here and Python re in the simulator.
+    """
+    matched = F.filter(rules, lambda r: F.rlike(path, r.getField("re")))
+    best = F.array_max(F.transform(
+        matched,
+        lambda r: F.struct(r.getField("spec").alias("spec"),
+                           r.getField("allow").alias("allow"))))
+    return (F.when(rules.isNull(), F.lit(True))
+            .when(F.size(matched) == 0, F.lit(True))
+            .otherwise(best.getField("allow")))
+
+
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Gate the frontier on per-host robots rules.
 
-    ``robots(host, disallow_prefixes array<string>, crawl_delay_ms)``
-    is tiny relative to the frontier (one row per host) → broadcast
-    left join, then an allow predicate evaluated entirely JVM-side:
-    a URL is blocked when any disallow prefix matches its path.
+    ``robots(host, rules array<struct>, crawl_delay_ms)`` is tiny
+    relative to the frontier (one row per host) → broadcast left
+    join, then the RFC 9309 allow predicate evaluated entirely
+    JVM-side against the URL path (:func:`robots_allowed_expr`).
     """
     gated = (frontier
              .join(F.broadcast(robots), "host", "left")
@@ -186,10 +244,7 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
                                           1))
              .withColumn(
                  "robots_allowed",
-                 F.when(F.col("disallow_prefixes").isNull(), F.lit(True))
-                 .otherwise(~F.exists(
-                     "disallow_prefixes",
-                     lambda p: F.col("path").startswith(p)))))
+                 robots_allowed_expr(F.col("path"), F.col("rules"))))
     return (gated
             .withColumn("crawl_delay_ms",
                         F.coalesce(F.col("crawl_delay_ms"), F.lit(0)))

@@ -250,14 +250,30 @@ def seeds_from_documents(spark, sf_dir: str, every: int = 5,
 
 
 def robots_df(spark, num_hosts: int = NUM_HOSTS):
-    """Per-host robots table (FIXTURES.md §3): ~10% of hosts disallow
-    a path prefix; crawl_delay deterministic per host."""
-    rows = []
+    """Per-host robots table (FIXTURES.md §3) — RFC 9309 rule mix:
+
+    * ~10% of hosts (``_h(h,'robo')%10==0``): literal-prefix Disallow;
+    * ~10% (``_h(h,'roboallow')%10==3``): ``Disallow: /`` with an
+      ``Allow: /dNN*`` carve-out — the real-world pattern the round-2
+      prefix-only gate over-blocked;
+    * ~5% (``_h(h,'robodollar')%20==11``): wildcard + ``$`` rule
+      blocking urls whose path ends ``7.html``.
+
+    Classes can stack (rules concatenate). crawl_delay deterministic
+    per host. The crawl differential test mirrors these through the
+    pure-Python simulator (kernel.robots.is_allowed)."""
+    from frontier.spark import schedule
+
+    host_rules = []
     for h in range(num_hosts):
         host = f"host{h:04d}.example"
-        disallow = [f"/d{(_h(h, 'roboprefix') % 97):02d}"] \
-            if _h(h, "robo") % 10 == 0 else []
-        rows.append((host, disallow, int(_h(h, "delay") % 5) * 100))
-    return spark.createDataFrame(
-        rows, "host string, disallow_prefixes array<string>, "
-              "crawl_delay_ms int")
+        rules = []
+        if _h(h, "robo") % 10 == 0:
+            rules.append((f"/d{(_h(h, 'roboprefix') % 97):02d}", False))
+        if _h(h, "roboallow") % 10 == 3:
+            rules.append(("/", False))
+            rules.append((f"/d{(_h(h, 'allowseg') % 97):02d}*", True))
+        if _h(h, "robodollar") % 20 == 11:
+            rules.append(("/*7.html$", False))
+        host_rules.append((host, rules, int(_h(h, "delay") % 5) * 100))
+    return schedule.rules_relation(spark, host_rules)

@@ -32,8 +32,8 @@ def sim_inputs(corpus):
         pages_map[row.url_canon] = (ts, row.text, list(row.links))
     seed_list = [(r.url, r.priority, 0) for r in
                  seeds.orderBy("source_rank").collect()]
-    robots_map = {r.host: list(r.disallow_prefixes)
-                  for r in robots.collect() if r.disallow_prefixes}
+    robots_map = {r.host: [(ru.pat, ru.allow) for ru in r.rules]
+                  for r in robots.collect() if r.rules}
     return pages_map, seed_list, robots_map
 
 

@@ -1,4 +1,4 @@
-"""robots.txt parsing (RFC 9309 subset) + Spark gate equivalence."""
+"""robots.txt parsing + RFC 9309 matching + Spark gate equivalence."""
 
 import pyspark.sql.functions as F
 
@@ -15,6 +15,7 @@ Disallow: /deep
 
 User-agent: *
 Disallow: /tmp
+Allow: /tmp/pub
 Disallow:
 Crawl-delay: 0.5
 Unknown-directive: whatever
@@ -24,11 +25,13 @@ Unknown-directive: whatever
 def test_group_selection_specificity():
     # exact/prefix agent beats *; longest prefix wins
     assert robots.rules_for_agent(SAMPLE, "googlebot") \
-        == (["/private"], 2000)
+        == ([("/private", False)], 2000)
     assert robots.rules_for_agent(SAMPLE, "frontier-deep-v2") \
-        == (["/deep"], 0)
-    assert robots.rules_for_agent(SAMPLE, "frontier") == (["/tmp"], 500)
-    assert robots.rules_for_agent(SAMPLE, "otherbot") == (["/tmp"], 500)
+        == ([("/deep", False)], 0)
+    assert robots.rules_for_agent(SAMPLE, "frontier") \
+        == ([("/tmp", False), ("/tmp/pub", True)], 500)
+    assert robots.rules_for_agent(SAMPLE, "otherbot") \
+        == ([("/tmp", False), ("/tmp/pub", True)], 500)
 
 
 def test_empty_disallow_is_allow_all():
@@ -38,8 +41,8 @@ def test_empty_disallow_is_allow_all():
 
 def test_consecutive_agents_share_group():
     txt = b"User-agent: a\nUser-agent: b\nDisallow: /x\n"
-    assert robots.rules_for_agent(txt, "a") == (["/x"], 0)
-    assert robots.rules_for_agent(txt, "b") == (["/x"], 0)
+    assert robots.rules_for_agent(txt, "a") == ([("/x", False)], 0)
+    assert robots.rules_for_agent(txt, "b") == ([("/x", False)], 0)
 
 
 def test_junk_tolerated():
@@ -55,36 +58,142 @@ def test_delay_capped():
     assert robots.rules_for_agent(txt, "x")[1] == robots.MAX_DELAY_MS
 
 
+# ---------------------------------------------------------------------------
+# RFC 9309 matching semantics (Allow, wildcards, longest-match)
+# ---------------------------------------------------------------------------
+
+
+def test_allow_overrides_disallow_by_length():
+    rules = [("/", False), ("/public", True)]
+    assert robots.is_allowed(rules, "/public/index.html")
+    assert not robots.is_allowed(rules, "/private/index.html")
+    assert not robots.is_allowed(rules, "/")
+
+
+def test_tie_allow_wins():
+    # RFC 9309 §2.2.2: equivalent allow and disallow → allow SHOULD win
+    rules = [("/page", False), ("/page", True)]
+    assert robots.is_allowed(rules, "/page.html")
+
+
+def test_no_match_allowed():
+    assert robots.is_allowed([("/a", False)], "/b")
+    assert robots.is_allowed([], "/anything")
+
+
+def test_wildcard_star():
+    rules = [("/*.gif$", False)]
+    assert not robots.is_allowed(rules, "/pics/cat.gif")
+    assert robots.is_allowed(rules, "/pics/cat.gif?v=1")  # $ anchors
+    assert robots.is_allowed(rules, "/pics/cat.gifx")
+    rules = [("/fish*", False)]
+    assert not robots.is_allowed(rules, "/fishheads/yummy.html")
+    assert robots.is_allowed(rules, "/catfish")
+
+
+def test_rfc9309_222_examples():
+    """RFC 9309 §2.2.2 / §5.2-flavoured example matrix."""
+    # allow longer than disallow
+    r = [("/example", True), ("/ex", False)]
+    assert robots.is_allowed(r, "/example/page.html")
+    assert not robots.is_allowed(r, "/extra")
+    # disallow longer than allow
+    r = [("/example/page/", False), ("/example", True)]
+    assert not robots.is_allowed(r, "/example/page/index.html")
+    assert robots.is_allowed(r, "/example/other")
+    # wildcard specificity counts pattern characters
+    r = [("/example/page/*.html", False), ("/example/page/", True)]
+    assert not robots.is_allowed(r, "/example/page/x.html")
+    assert robots.is_allowed(r, "/example/page/x.txt")
+
+
+def test_compile_pattern_portable():
+    """Compiled regexes behave identically under Python re and the
+    JVM (via a literal Spark expression) for metachar-heavy rules."""
+    import re
+    pats = ["/a.b", "/a(b)c", "/x[1]", "/q?r", "/s+t", "/u^v",
+            "/w|z", "/p{2}", "/*mid*", "/end$", "/\\back", "/ sp"]
+    paths = ["/a.b/c", "/axb", "/a(b)c", "/x[1]", "/q?r", "/qxr",
+             "/s+t", "/u^v", "/w|z", "/p{2}", "/amidz", "/end", "/endx",
+             "/\\back", "/ sp"]
+    for p in pats:
+        rx = robots.compile_pattern(p)
+        for path in paths:
+            assert isinstance(bool(re.search(rx, path)), bool)
+    assert re.search(robots.compile_pattern("/a.b"), "/axb") is None
+    assert re.search(robots.compile_pattern("/*mid*"), "/amidz")
+    assert re.search(robots.compile_pattern("/end$"), "/endx") is None
+
+
+def test_jvm_matcher_equals_python(spark):
+    """Differential: robots_allowed_expr (rlike, JVM) == is_allowed
+    (Python re) over a rule × path matrix including metachars."""
+    from frontier.spark import schedule
+
+    rule_sets = [
+        [("/", False), ("/public", True)],
+        [("/page", False), ("/page", True)],
+        [("/*.gif$", False)],
+        [("/fish*", False), ("/fish*/bowl", True)],
+        [("/example/page/*.html", False), ("/example/page/", True)],
+        [("/a.b", False)],
+        [("/q?r", False), ("/q", True)],
+        [],
+    ]
+    paths = ["/", "/public/x", "/private", "/page.html", "/pics/c.gif",
+             "/pics/c.gif?v=1", "/fishheads/y.html", "/fish/bowl/z",
+             "/example/page/x.html", "/example/page/x.txt", "/a.b",
+             "/axb", "/q?r", "/qxr", "/catfish"]
+    rows = [(i, j, path)
+            for i, _ in enumerate(rule_sets)
+            for j, path in enumerate(paths)]
+    rules_rel = schedule.rules_relation(
+        spark, [(str(i), rs, 0) for i, rs in enumerate(rule_sets)])
+    df = spark.createDataFrame(rows, "i int, j int, path string") \
+        .join(rules_rel.select(F.col("host").cast("int").alias("i"),
+                               "rules"), "i")
+    got = {(r.i, r.j): r.allowed for r in df.select(
+        "i", "j",
+        schedule.robots_allowed_expr(F.col("path"), F.col("rules"))
+        .alias("allowed")).collect()}
+    for i, rs in enumerate(rule_sets):
+        for j, path in enumerate(paths):
+            assert got[(i, j)] == robots.is_allowed(rs, path), (rs, path)
+
+
 def test_spark_robots_text_to_gate(spark):
     """bytes → robots_from_text → apply_robots must gate exactly like
-    a hand-built rules relation."""
+    a hand-built rules relation (incl. Allow lines — synth emits
+    them)."""
     from frontier import synth
     from frontier.spark import schedule
 
     rules = synth.robots_df(spark, num_hosts=50)
 
-    def to_text(host, prefixes, delay_ms):
+    def to_text(host, rule_structs, delay_ms):
         lines = ["User-agent: *"]
-        lines += [f"Disallow: {p}" for p in prefixes]
+        for ru in rule_structs:
+            verb = "Allow" if ru.allow else "Disallow"
+            lines.append(f"{verb}: {ru.pat}")
         if delay_ms:
             lines.append(f"Crawl-delay: {delay_ms / 1000}")
         return (host, "\n".join(lines).encode())
 
     raw = spark.createDataFrame(
-        [to_text(r.host, r.disallow_prefixes, r.crawl_delay_ms)
+        [to_text(r.host, list(r.rules), r.crawl_delay_ms)
          for r in rules.collect()],
         "host string, robots_txt binary")
     parsed = schedule.robots_from_text(raw)
 
-    a = {r.host: (list(r.disallow_prefixes), r.crawl_delay_ms)
+    a = {r.host: ([tuple(ru) for ru in r.rules], r.crawl_delay_ms)
          for r in parsed.collect()}
-    b = {r.host: (list(r.disallow_prefixes), r.crawl_delay_ms)
+    b = {r.host: ([tuple(ru) for ru in r.rules], r.crawl_delay_ms)
          for r in rules.collect()}
     assert a == b
 
     # and the gate behaves identically through either relation
     urls = spark.createDataFrame(
-        [(f"https://host{h:04d}.example/d{d:02d}/p.html",)
+        [(f"https://host{h:04d}.example/d{d:02d}/p{h}7.html",)
          for h in range(50) for d in (0, 5, 42)], "url string")
     staged = schedule.with_host(schedule.with_url_canon(urls))
     g1 = {r.url_canon: r.robots_allowed for r in
@@ -92,21 +201,25 @@ def test_spark_robots_text_to_gate(spark):
     g2 = {r.url_canon: r.robots_allowed for r in
           schedule.apply_robots(staged, parsed).collect()}
     assert g1 == g2 and len(g1) == 150
+    assert False in g1.values() and True in g1.values()
 
 
 def test_robots_parser_fuzz_never_raises():
     """robots.txt arrives as arbitrary crawled bytes: the parser must
-    ALWAYS return a well-formed rules tuple (the Spark kernel treats
-    any exception as allow-all, but the kernel itself shouldn't
-    need that net for byte junk)."""
+    ALWAYS return a well-formed rules tuple, and every parsed pattern
+    must compile under Python re AND match without raising."""
+    import re
+
     from hypothesis import given, settings, strategies as st
 
     @settings(max_examples=300, deadline=None)
     @given(st.binary(max_size=400))
     def run(blob):
-        dis, delay = robots.rules_for_agent(blob, "frontier")
-        assert isinstance(dis, list)
-        assert all(isinstance(p, str) for p in dis)
+        rules, delay = robots.rules_for_agent(blob, "frontier")
+        assert isinstance(rules, list)
         assert 0 <= delay <= robots.MAX_DELAY_MS
+        for pat, allow in rules:
+            assert isinstance(pat, str) and isinstance(allow, bool)
+            re.search(robots.compile_pattern(pat), "/some/path")
 
     run()

@@ -196,3 +196,76 @@ def test_pagerank_star_graph(spark):
     again = {r.doc_id: r.rank_u for r in
              textops.pagerank(edges, n_iter=5).collect()}
     assert got == again
+
+
+def test_dedup_clusters_path_graph_log_rounds(spark):
+    """Large/small-star convergence on a diameter-4095 path graph:
+    min-label propagation would need ~4095 rounds (and the round-2
+    implementation silently stopped wrong at 15); the alternating
+    algorithm finishes in O(log d)."""
+    import math
+    n = 4096
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    stats = {}
+    got = {r.doc_id: r.cluster_id
+           for r in textops.dedup_clusters(pairs, stats=stats).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 4, stats
+
+
+def test_dedup_clusters_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    import pytest
+    with pytest.raises(RuntimeError, match="did not converge"):
+        textops.dedup_clusters(pairs, max_iter=1)
+
+
+def test_winnow_chunked_equals_unchunked(spark):
+    """Long docs take the bounded-memory chunked path; fingerprint SET
+    must equal the single-pass result by construction."""
+    import random
+    rng = random.Random(7)
+    long_doc = "".join(rng.choice("abcdef ghij") for _ in range(3000))
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, "short doc text"), (2, "xy")],
+        "doc_id long, text string")
+    unchunked = {r.doc_id: sorted(r.fingerprints)
+                 for r in textops.winnow_fingerprints(
+                     df, max_chars=1 << 20).collect()}
+    chunked = {r.doc_id: sorted(r.fingerprints)
+               for r in textops.winnow_fingerprints(
+                   df, max_chars=257).collect()}
+    assert chunked == unchunked
+    # boundary stress: chunk size barely above the k+window-1 minimum
+    tight = {r.doc_id: sorted(r.fingerprints)
+             for r in textops.winnow_fingerprints(
+                 df, max_chars=12).collect()}
+    assert tight == unchunked
+
+
+def test_pagerank_empty_edges(spark):
+    edges = spark.createDataFrame([], "src_doc long, dst_doc long")
+    assert textops.pagerank(edges).collect() == []
+
+
+def test_pagerank_plan_pinned(spark):
+    """The ranks join must be a shuffled hash join (slim side builds),
+    never a broadcast of the ranks relation — the 10^9-node plan.
+    Asserted on the per-iteration step (the full pagerank() output
+    plan is a checkpoint scan, which would hide the join)."""
+    import pyspark.sql.functions as F
+    e = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)],
+        "src_doc long, dst_doc long") \
+        .select(F.col("src_doc").alias("src"), F.col("dst_doc").alias("dst"))
+    nodes = (e.select(F.col("src").alias("doc_id"))
+             .unionByName(e.select(F.col("dst").alias("doc_id")))
+             .distinct())
+    out_deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib = e.join(out_deg, "src").repartition(F.col("src"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / 200))
+    step = textops._pagerank_step(contrib, ranks, nodes, 200, 0.85)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
