@@ -602,13 +602,37 @@ def q_crawl_rollup(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal path: decode transfer-encoding → media filter →
-    codec featurize. The (stub) codec reads blob bytes, so the parts
-    must be decoded (base64) first — decode=True in the parse."""
+    REAL pure-stdlib codec (PNG unfilter + FRMS demux,
+    frontier/kernel/imagecodec.py). Decoded width/height come from
+    IHDR; feature phases come from the unfiltered PIXELS, so a wrong
+    Paeth/Average implementation flips f0/f5 and fails the oracle.
+    Feature values are dyadic rationals → exact across engines."""
     from frontier.spark import media, parse
     res = parse.parse_pages(_pages(spark, sf_dir), decode=True)
     feats = media.extract_features(media.media_resources(res))
     return feats.select(_doc_id("url").alias("doc_id"), "part_index",
-                        "media_kind", "width", "height", "n_frames")
+                        "media_kind", "width", "height", "n_frames",
+                        F.element_at("feature", 1).cast("double")
+                        .alias("f0"),
+                        F.element_at("feature", 6).cast("double")
+                        .alias("f5"))
+
+
+def q_audio_features(spark, sf_dir):
+    """Audio modality end-to-end: synth emits real RIFF/PCM16 WAV
+    blobs; the codec kernel parses the RIFF chunks and the 8-phase
+    sample means are oracled exactly (dyadic rationals)."""
+    from frontier import synth
+    from frontier.spark import media
+    parts = synth.audio_parts_from_documents(spark, sf_dir)
+    feats = media.extract_features(parts)
+    return feats.select(
+        F.regexp_extract("url", r"doc(\d+)", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("width").alias("n_samples"),
+        F.col("height").alias("n_channels"),
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 6).cast("double").alias("f5"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -641,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_filenames_unique": q_extract_filenames_unique,
         "content_type_glob": q_content_type_glob,
         "robots_gate": q_robots_gate,
+        "audio_features": q_audio_features,
         "list_parts_main": q_list_parts_main,
         "simhash_pairs": q_simhash_pairs,
         "rfc7bit_text": q_rfc7bit_text,
@@ -788,6 +813,95 @@ r{k} AS (
 SELECT doc_id,
        CAST(floor(rank * 1000000000) AS BIGINT) AS rank_u
 FROM r{n_iter}""")
+
+
+def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
+                    n_probe: int = 4, k: int = 3,
+                    n_queries: int = 5) -> str:
+    """DuckDB restatement of ann.ivf_codebook + ivf_topk: the Lloyd
+    iterations are UNROLLED as chained CTEs. Exactness: quantized
+    elements and per-cell sums are integer-valued doubles < 2^53, so
+    dots/norms/sums are bit-identical in any summation order; the
+    only float ops (sqrt, divide) are IEEE-correctly-rounded in both
+    engines from identical inputs."""
+    head = f"""
+        WITH xq AS (
+          SELECT vec_id, j - 1 AS j,
+                 CAST(floor(CAST(x AS DOUBLE) * 1024) AS DOUBLE) AS x
+          FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                       UNNEST(generate_series(1, len(embedding))) AS j
+                FROM embeddings)
+        ), vn AS (
+          SELECT vec_id, sqrt(SUM(x*x)) AS nv FROM xq GROUP BY vec_id
+        ), seeds AS (
+          SELECT vec_id,
+                 CAST(row_number() OVER ord - 1 AS INTEGER) AS cell_id
+          FROM embeddings
+          WINDOW ord AS (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          QUALIFY row_number() OVER ord <= {n_cells}
+        ), c0 AS (
+          SELECT s.cell_id, x.j, x.x AS s
+          FROM seeds s JOIN xq x USING (vec_id)
+        )"""
+    step = """
+        , cn{i} AS (
+          SELECT cell_id, sqrt(SUM(s*s)) AS nc FROM c{i} GROUP BY cell_id
+        ), dot{i} AS (
+          SELECT x.vec_id, c.cell_id, SUM(x.x * c.s) AS d
+          FROM xq x JOIN c{i} c USING (j) GROUP BY x.vec_id, c.cell_id
+        ), asg{i} AS (
+          SELECT vec_id, cell_id FROM (
+            SELECT d.vec_id, d.cell_id,
+                   row_number() OVER (PARTITION BY d.vec_id
+                     ORDER BY d.d / (v.nv * c.nc) DESC, d.cell_id) AS rn
+            FROM dot{i} d JOIN vn v USING (vec_id)
+            JOIN cn{i} c USING (cell_id)) WHERE rn = 1
+        ), s{i} AS (
+          SELECT a.cell_id, x.j, SUM(x.x) AS s
+          FROM asg{i} a JOIN xq x USING (vec_id)
+          GROUP BY a.cell_id, x.j
+        ), c{next} AS (
+          SELECT c.cell_id, c.j, COALESCE(s.s, c.s) AS s
+          FROM c{i} c LEFT JOIN s{i} s
+            ON s.cell_id = c.cell_id AND s.j = c.j
+        )"""
+    body = "".join(step.format(i=i, next=i + 1) for i in range(n_iter))
+    tail = f"""
+        , cnf AS (
+          SELECT cell_id, sqrt(SUM(s*s)) AS nc
+          FROM c{n_iter} GROUP BY cell_id
+        ), dotf AS (
+          SELECT x.vec_id, c.cell_id, SUM(x.x * c.s) AS d
+          FROM xq x JOIN c{n_iter} c USING (j)
+          GROUP BY x.vec_id, c.cell_id
+        ), ranked AS (
+          SELECT d.vec_id, d.cell_id,
+                 row_number() OVER (PARTITION BY d.vec_id
+                   ORDER BY d.d / (v.nv * c.nc) DESC, d.cell_id) AS rn
+          FROM dotf d JOIN vn v USING (vec_id) JOIN cnf c USING (cell_id)
+        ), asgf AS (
+          SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1
+        ), probef AS (
+          SELECT vec_id AS query_id, cell_id FROM ranked
+          WHERE rn <= {n_probe} AND vec_id < {n_queries}
+        ), cand AS (
+          SELECT DISTINCT p.query_id, a.neighbor_id
+          FROM asgf a JOIN probef p USING (cell_id)
+          WHERE a.neighbor_id != p.query_id
+        ), scored AS (
+          SELECT c.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(
+                       e.embedding::DOUBLE[],
+                       q.embedding::DOUBLE[]) DESC,
+                     c.neighbor_id ASC) AS rn
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.neighbor_id
+          JOIN embeddings q ON q.vec_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+        FROM scored WHERE rn <= {k}"""
+    return head + body + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1025,6 +1139,17 @@ def oracle_sql() -> dict[str, str]:
         "content_type_glob": """
             SELECT doc_id, least(doc_id % 4, 2) AS n_images
             FROM documents WHERE doc_id % 4 > 0""",
+        "audio_features": """
+            SELECT doc_id,
+                   CAST(16 AS INTEGER) AS n_samples,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   ((((doc_id*31) % 256 - 128) * 256
+                     + ((doc_id*31 + 136) % 256 - 128) * 256) / 2.0)
+                   / 32768 AS f0,
+                   ((((doc_id*31 + 85) % 256 - 128) * 256
+                     + ((doc_id*31 + 221) % 256 - 128) * 256) / 2.0)
+                   / 32768 AS f5
+            FROM documents""",
         "robots_gate": """
             SELECT doc_id,
                    CASE CAST(doc_id % 4 AS INTEGER)
@@ -1047,12 +1172,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d, (VALUES (0),(1),(2)) AS i(n)
               WHERE i.n < d.doc_id % 4)
             SELECT doc_id, part_index, media_kind,
-                   CAST(16 + CAST(concat('0x', substr(h, 1, 2))
-                        AS INTEGER) % 240 AS INTEGER) AS width,
-                   CAST(16 + CAST(concat('0x', substr(h, 3, 2))
-                        AS INTEGER) % 240 AS INTEGER) AS height,
-                   CAST(1 + CAST(concat('0x', substr(h, 5, 2))
-                        AS INTEGER) % 4 AS INTEGER) AS n_frames
+                   CAST(4 + 4 * (CAST(concat('0x', substr(h, 1, 2))
+                        AS INTEGER) % 4) AS INTEGER) AS width,
+                   CAST(4 AS INTEGER) AS height,
+                   CAST(CASE WHEN media_kind = 'video'
+                        THEN 1 + CAST(concat('0x', substr(h, 5, 2))
+                             AS INTEGER) % 4
+                        ELSE 1 END AS INTEGER) AS n_frames,
+                   ((CAST(concat('0x', substr(h, 1, 2)) AS INTEGER)
+                     + CAST(concat('0x', substr(h, 17, 2)) AS INTEGER))
+                    / 2.0 - 128) / 128 AS f0,
+                   ((CAST(concat('0x', substr(h, 11, 2)) AS INTEGER)
+                     + CAST(concat('0x', substr(h, 27, 2)) AS INTEGER))
+                    / 2.0 - 128) / 128 AS f5
             FROM parts""",
         "list_parts_main": """
             SELECT doc_id,
@@ -1179,45 +1311,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
               AND lang_guess != 'C'""",
-        "ann_ivf_topk": """
-            WITH cents AS (
-              SELECT vec_id AS cell_id, embedding AS c
-              FROM embeddings WHERE vec_id < 16
-            ), asg AS (
-              SELECT vec_id AS neighbor_id, cell_id FROM (
-                SELECT e.vec_id, c.cell_id,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(
-                             e.embedding::DOUBLE[], c.c::DOUBLE[]) DESC,
-                           c.cell_id ASC) AS rn
-                FROM embeddings e, cents c)
-              WHERE rn = 1
-            ), probe AS (
-              SELECT vec_id AS query_id, cell_id FROM (
-                SELECT e.vec_id, c.cell_id,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(
-                             e.embedding::DOUBLE[], c.c::DOUBLE[]) DESC,
-                           c.cell_id ASC) AS rn
-                FROM embeddings e, cents c WHERE e.vec_id < 5)
-              WHERE rn <= 4
-            ), cand AS (
-              SELECT DISTINCT p.query_id, a.neighbor_id
-              FROM asg a JOIN probe p USING (cell_id)
-              WHERE a.neighbor_id != p.query_id
-            ), scored AS (
-              SELECT c.query_id, c.neighbor_id,
-                     row_number() OVER (PARTITION BY c.query_id
-                       ORDER BY list_cosine_similarity(
-                           e.embedding::DOUBLE[],
-                           q.embedding::DOUBLE[]) DESC,
-                         c.neighbor_id ASC) AS rn
-              FROM cand c
-              JOIN embeddings e ON e.vec_id = c.neighbor_id
-              JOIN embeddings q ON q.vec_id = c.query_id
-            )
-            SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
-            FROM scored WHERE rn <= 3""",
+        "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (
               SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b

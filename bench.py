@@ -173,6 +173,12 @@ def main():
         "n_pages": n_docs,
         "n_scheduled": n_scheduled,
         "urls_per_sec": throughput,
+        # round-1 numbers for these map-only queries timed a count()
+        # that let Catalyst prune the output columns — they measured
+        # the scan, not the operator, and are NOT comparable to the
+        # noop-sink timings used since round 2 (BENCH/BASELINE.md)
+        "void_queries_r1": ["minhash_sig", "token_stats", "simhash",
+                            "exact_dedup", "ann_cosine_topk"],
     }))
     spark.stop()
 

@@ -1,0 +1,234 @@
+"""Pure-stdlib media codecs: PNG (struct + zlib), WAV (RIFF/PCM16),
+and a trivial multi-frame container ("FRMS") for the video path.
+
+The container has no PIL/cv2/librosa, so round 2 shipped the media
+pipeline over a byte-arithmetic fake codec. This module replaces it
+with REAL decoders (round-2 VERDICT item 3):
+
+* PNG — signature + chunk walk, IHDR (width/height/bit-depth/color
+  type), concatenated-IDAT zlib inflate, full scanline UNfiltering
+  (None/Sub/Up/Average/Paeth, RFC 2083 §6). 8-bit gray / RGB / RGBA.
+  The encoder can emit any per-row filter cycle, so tests and the
+  synthetic corpus exercise every unfilter path (a wrong Paeth
+  predictor changes decoded pixels and fails the DuckDB feature
+  oracle).
+* WAV — RIFF chunk walk, fmt (channels/sample-rate/bits), 16-bit PCM
+  samples.
+* FRMS — ``b"FRMS" + u8 frame_count + (u32 len + png)*`` —
+  a deliberately minimal container so frame sampling decodes real
+  frames without an mp4 demuxer.
+
+Decoders raise ValueError on malformed input; Spark callers catch and
+degrade per SURVEY.md §2.8 (one bad blob must never kill a task).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_BPP = {0: 1, 2: 3, 6: 4}  # color type → bytes/pixel at bit depth 8
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    if ftype == 0:
+        return row
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+    return bytes(out)
+
+
+def _unfilter_row(ftype: int, row: bytearray, prev: bytes,
+                  bpp: int) -> None:
+    if ftype == 0:
+        return
+    for i in range(len(row)):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 1:
+            row[i] = (row[i] + a) & 0xFF
+        elif ftype == 2:
+            row[i] = (row[i] + b) & 0xFF
+        elif ftype == 3:
+            row[i] = (row[i] + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            row[i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return (struct.pack(">I", len(data)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+def png_encode(width: int, height: int, pixels: bytes,
+               color_type: int = 2,
+               filters: list[int] | None = None) -> bytes:
+    """Row-major 8-bit pixels → PNG bytes. ``filters``: per-row filter
+    cycle (default all-0); non-zero filters exercise the decoder's
+    unfilter paths."""
+    bpp = _BPP[color_type]
+    stride = width * bpp
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer size mismatch")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        ftype = filters[y % len(filters)] if filters else 0
+        raw.append(ftype)
+        raw += _filter_row(ftype, row, prev, bpp)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """PNG bytes → (width, height, color_type, row-major pixel bytes).
+    Supports bit depth 8, color types 0/2/6, no interlace."""
+    if not blob.startswith(PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(PNG_SIG)
+    width = height = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4:pos + 8]
+        data = blob[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, inter = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color_type not in _BPP:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type})")
+            if inter:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp = _BPP[color_type]
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("bad scanline data size")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        start = y * (stride + 1)
+        ftype = raw[start]
+        row = bytearray(raw[start + 1:start + 1 + stride])
+        _unfilter_row(ftype, row, prev, bpp)
+        out += row
+        prev = bytes(row)
+    return width, height, color_type, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM16)
+# ---------------------------------------------------------------------------
+
+
+def wav_encode(samples: list[int], sample_rate: int = 8000,
+               channels: int = 1) -> bytes:
+    """Interleaved int16 samples → minimal RIFF/WAVE PCM bytes."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_decode(blob: bytes) -> tuple[int, int, list[int]]:
+    """WAV bytes → (channels, sample_rate, interleaved int16 samples)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    channels = sample_rate = None
+    samples: list[int] = []
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        (length,) = struct.unpack_from("<I", blob, pos + 4)
+        data = blob[pos + 8:pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", data)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif tag == b"data":
+            n = len(data) // 2
+            samples = list(struct.unpack(f"<{n}h", data[:n * 2]))
+    if channels is None:
+        raise ValueError("missing fmt chunk")
+    return channels, sample_rate, samples
+
+
+# ---------------------------------------------------------------------------
+# FRMS — minimal multi-frame (video) container
+# ---------------------------------------------------------------------------
+
+FRMS_SIG = b"FRMS"
+
+
+def frames_encode(frames: list[bytes]) -> bytes:
+    if not 0 < len(frames) < 256:
+        raise ValueError("1..255 frames")
+    out = bytearray(FRMS_SIG)
+    out.append(len(frames))
+    for f in frames:
+        out += struct.pack(">I", len(f)) + f
+    return bytes(out)
+
+
+def frames_decode(blob: bytes) -> list[bytes]:
+    if blob[:4] != FRMS_SIG or len(blob) < 5:
+        raise ValueError("not a FRMS container")
+    n = blob[4]
+    pos, frames = 5, []
+    for _ in range(n):
+        if pos + 4 > len(blob):
+            raise ValueError("truncated FRMS")
+        (length,) = struct.unpack_from(">I", blob, pos)
+        frame = blob[pos + 4:pos + 4 + length]
+        if len(frame) != length:
+            raise ValueError("truncated FRMS frame")
+        frames.append(frame)
+        pos += 4 + length
+    return frames

@@ -3,8 +3,10 @@
 The north_star input is "Common-Crawl-style web pages"; real Common
 Crawl ships WARC files, so the engine reads/writes them natively:
 one ``response`` record per page, the page's MHTML bytes as the
-record block. Plain (non-gzip) records — the member-gzip variant is
-a transparent wrapper a real deployment adds at the IO layer.
+record block. Both plain records and the member-gzip framing Common
+Crawl actually ships (``.warc.gz``: each record its own gzip member,
+members concatenated — ISO 28500 annex D) are supported; see
+:func:`gzip_member` / :func:`gunzip_members`.
 
 Record grammar (WARC/1.1 §4): version line ``WARC/1.0`` CRLF, header
 block (same ``Name: value`` + CRLF folding as MIME — the mime-kernel
@@ -66,6 +68,44 @@ def encode_record(headers: list[tuple[str, str]], block: bytes) -> bytes:
     out += CRLF
     out += block
     out += CRLF + CRLF
+    return bytes(out)
+
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record → one gzip member (mtime pinned to 0 so output is
+    deterministic — byte round-trips are testable)."""
+    import gzip
+
+    return gzip.compress(record, mtime=0)
+
+
+def gunzip_members(buf: bytes) -> bytes:
+    """Concatenated gzip members → concatenated decompressed bytes.
+
+    Streams member-by-member via ``decompressobj(wbits=31)`` +
+    ``unused_data`` (the stdlib idiom for multi-member gzip); raises
+    ValueError on trailing non-gzip bytes or a truncated member so
+    callers can skip the FILE per §2.8.
+    """
+    import zlib
+
+    out = bytearray()
+    data = bytes(buf)
+    while data:
+        if data[:2] != GZIP_MAGIC:
+            raise ValueError("trailing non-gzip bytes in .warc.gz")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out += d.decompress(data)
+            out += d.flush()
+        except zlib.error as exc:
+            raise ValueError("corrupt gzip member") from exc
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        data = d.unused_data
     return bytes(out)
 
 

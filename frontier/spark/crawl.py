@@ -161,141 +161,30 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         have_bloom = False
 
     for round_no in range(start_round, max_rounds):
-        staged = sched.with_host(frontier)
-
-        # 1. robots gate — blocked URLs leave the frontier permanently
-        if robots is not None:
-            staged = sched.apply_robots(staged, robots)
-            newly_blocked = staged.where(~F.col("robots_allowed")) \
-                .select("url_canon")
-            staged = staged.where(F.col("robots_allowed"))
-            blocked = blocked.unionByName(newly_blocked) \
-                .dropDuplicates(["url_canon"])
-        # slim (no page bytes) and consumed twice — the politeness cut
-        # AND the leftover anti-join inside the frontier write; without
-        # persist the gate chain recomputes at commit time
-        staged = staged.persist()
-
-        # 2. politeness budget (skew-safe two-phase top-k). Persisted:
-        # the batch feeds the fetch join, the leftover anti-join, the
-        # seen update AND the bloom build — without persist each
-        # consumer recomputes the window chain. Its count is the ONE
-        # pre-commit action per round (empty-check + metric in one).
-        batch = sched.politeness_cut(staged, budget_per_host) \
-            .select(*FRONTIER_COLS, "host", "rank_in_host").persist()
-        n_scheduled = batch.count()
-        if n_scheduled == 0:
-            batch.unpersist()
-            staged.unpersist()
+        # every persist in the round body is released in the finally
+        # below — an exception mid-round (fetch failure, commit error)
+        # must not leak cached partitions into the next round / the
+        # rest of the session (round-2 ADVICE)
+        persisted: list[DataFrame] = []
+        try:
+            stop = _crawl_round(
+                spark, round_no, frontier, robots, page_index, store,
+                budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
+                have_bloom, seen_exact, seen_bloom, blocked,
+                fetch_mode, broadcast_fetch_max, target_fpp, persisted)
+        finally:
+            for df in persisted:
+                df.unpersist()
+        if stop:
             break
-        leftover = staged.select(*FRONTIER_COLS) \
-            .join(batch.select("url_canon"), "url_canon", "left_anti")
 
-        # 3. fetch + parse (page_index lookup). URLs with no page
-        # simply don't match (inner join), and seen-marking uses
-        # `batch` directly so nothing is lost. Persisted: feeds both
-        # the results write and link discovery.
-        if fetch_mode == "auto":
-            mode = "broadcast" if n_scheduled <= broadcast_fetch_max \
-                else "copartition"
-        else:
-            mode = fetch_mode
-        fetched = fetch_pages(page_index, batch, mode).persist()
-        results = fetched.where(F.col("text").isNotNull()) \
-            .select("url_canon", "text",
-                    F.lit(round_no).alias("round"))
-
-        # 4. discovery: explode links, canon, min-merge per new url
-        raw_links = (fetched
-                     .where(F.col("links").isNotNull())
-                     .select(F.col("priority"), F.col("page_ts"),
-                             F.explode("links").alias("link")))
-        candidates = (sched.with_url_canon(raw_links, "link")
-                      .where(F.col("url_canon").isNotNull())
-                      .groupBy("url_canon")
-                      .agg(F.min(F.struct(
-                          (F.col("priority") + 1).alias("priority"),
-                          F.col("page_ts").alias("warc_ts"))).alias("o"))
-                      .select("url_canon", "o.priority", "o.warc_ts"))
-
-        # 5. seen update + unseen filter. When the previous round
-        # estimated the Bloom past target_fpp, REBUILD from the exact
-        # relation at doubled width instead of merging (merging
-        # different widths is meaningless — positions use different
-        # moduli).
-        new_seen = seen_exact.unionByName(batch.select("url_canon")) \
-            .dropDuplicates(["url_canon"])
-        if rebuild_bloom:
-            bloom_bits *= 2
-            new_bloom = seenmod.build(new_seen, num_buckets=num_buckets,
-                                      bits_per_bucket=bloom_bits)
-            rebuild_bloom = False
-        else:
-            batch_bloom = seenmod.build(batch.select("url_canon"),
-                                        num_buckets=num_buckets,
-                                        bits_per_bucket=bloom_bits)
-            new_bloom = seenmod.merge_blooms(seen_bloom, batch_bloom) \
-                if have_bloom else batch_bloom
-
-        fresh = seenmod.filter_unseen(candidates, new_bloom, new_seen,
-                                      num_buckets=num_buckets)
-        fresh = fresh.join(blocked, "url_canon", "left_anti") \
-            .join(leftover.select("url_canon"), "url_canon", "left_anti")
-
-        # 6. snapshot commit (also truncates plan lineage). Metrics
-        # ride the commit: discovered_new via df.observe on the
-        # frontier write, bloom saturation via observe on the bloom
-        # write, row counts from the committed parquet footers —
-        # ZERO additional Spark jobs.
-        fresh_obs = Observation(f"fresh-r{round_no}")
-        flagged = (leftover.withColumn("_fresh", F.lit(False))
-                   .unionByName(fresh.select(*FRONTIER_COLS)
-                                .withColumn("_fresh", F.lit(True))))
-        new_frontier = flagged.observe(
-            fresh_obs,
-            F.sum(F.col("_fresh").cast("long")).alias("n_fresh")
-        ).drop("_fresh")
-
-        bloom_obs = Observation(f"bloom-r{round_no}")
-        new_bloom = new_bloom.observe(
-            bloom_obs,
-            F.max("n_keys").alias("max_keys"),
-            F.max(F.length("bloom")).alias("m_bytes"))
-
-        def bloom_metrics(_lineage, _obs=bloom_obs):
-            got = _obs.get
-            n = int(got["max_keys"] or 0)
-            m_bits = int(got["m_bytes"] or 0) * 8
-            fpp = _estimate_fpp(n, m_bits)
-            return {"bloom_max_keys_per_bucket": n,
-                    "bloom_m_bits": m_bits,
-                    "bloom_est_fpp": round(fpp, 6),
-                    "bloom_rebuild_next": fpp > target_fpp}
-
-        metrics = {
-            "round": round_no,
-            "scheduled": n_scheduled,
-            "extracted_texts": lambda L: L["results"]["n_rows"],
-            "discovered_new":
-                lambda L, _o=fresh_obs: int(_o.get["n_fresh"] or 0),
-            "frontier_size": lambda L: L["frontier"]["n_rows"],
-            "budget_per_host": budget_per_host,
-            "_bloom": bloom_metrics,
-        }
-        store.commit({
-            "frontier": new_frontier,
-            "seen_exact": new_seen,
-            "seen_bloom": new_bloom,
-            "blocked": blocked,
-            "batch": batch,
-            "results": results,
-        }, metrics)
-        batch.unpersist()
-        fetched.unpersist()
-        staged.unpersist()
-
+        # refresh saturation state from the committed manifest — the
+        # SAME source a resumed crawl reads, so in-session and resumed
+        # rounds see identical (bloom_bits, rebuild) state
         rebuild_bloom = bool(
             store.manifest()["metrics"].get("bloom_rebuild_next", False))
+        bloom_bits = int(store.manifest()["metrics"].get(
+            "bloom_m_bits", bloom_bits)) or bloom_bits
 
         frontier = store.read(spark, "frontier")
         seen_exact = store.read(spark, "seen_exact")
@@ -304,6 +193,148 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         have_bloom = True
 
     return store.manifest() or {}
+
+
+def _crawl_round(spark, round_no, frontier, robots, page_index, store,
+                 budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
+                 have_bloom, seen_exact, seen_bloom, blocked,
+                 fetch_mode, broadcast_fetch_max, target_fpp,
+                 persisted) -> bool:
+    """One crawl round; returns True when the frontier is exhausted.
+    Appends every persisted DataFrame to ``persisted`` (the caller
+    unpersists in a finally — round-2 ADVICE: an exception between
+    persist and commit must not leak cached partitions)."""
+    staged = sched.with_host(frontier)
+
+    # 1. robots gate — blocked URLs leave the frontier permanently
+    if robots is not None:
+        staged = sched.apply_robots(staged, robots)
+        newly_blocked = staged.where(~F.col("robots_allowed")) \
+            .select("url_canon")
+        staged = staged.where(F.col("robots_allowed"))
+        blocked = blocked.unionByName(newly_blocked) \
+            .dropDuplicates(["url_canon"])
+    # slim (no page bytes) and consumed twice — the politeness cut
+    # AND the leftover anti-join inside the frontier write; without
+    # persist the gate chain recomputes at commit time
+    staged = staged.persist()
+    persisted.append(staged)
+
+    # 2. politeness budget (skew-safe two-phase top-k). Persisted:
+    # the batch feeds the fetch join, the leftover anti-join, the
+    # seen update AND the bloom build — without persist each
+    # consumer recomputes the window chain. Its count is the ONE
+    # pre-commit action per round (empty-check + metric in one).
+    batch = sched.politeness_cut(staged, budget_per_host) \
+        .select(*FRONTIER_COLS, "host", "rank_in_host").persist()
+    persisted.append(batch)
+    n_scheduled = batch.count()
+    if n_scheduled == 0:
+        return True
+    leftover = staged.select(*FRONTIER_COLS) \
+        .join(batch.select("url_canon"), "url_canon", "left_anti")
+
+    # 3. fetch + parse (page_index lookup). URLs with no page
+    # simply don't match (inner join), and seen-marking uses
+    # `batch` directly so nothing is lost. Persisted: feeds both
+    # the results write and link discovery.
+    if fetch_mode == "auto":
+        mode = "broadcast" if n_scheduled <= broadcast_fetch_max \
+            else "copartition"
+    else:
+        mode = fetch_mode
+    fetched = fetch_pages(page_index, batch, mode).persist()
+    persisted.append(fetched)
+    results = fetched.where(F.col("text").isNotNull()) \
+        .select("url_canon", "text",
+                F.lit(round_no).alias("round"))
+
+    # 4. discovery: explode links, canon, min-merge per new url
+    raw_links = (fetched
+                 .where(F.col("links").isNotNull())
+                 .select(F.col("priority"), F.col("page_ts"),
+                         F.explode("links").alias("link")))
+    candidates = (sched.with_url_canon(raw_links, "link")
+                  .where(F.col("url_canon").isNotNull())
+                  .groupBy("url_canon")
+                  .agg(F.min(F.struct(
+                      (F.col("priority") + 1).alias("priority"),
+                      F.col("page_ts").alias("warc_ts"))).alias("o"))
+                  .select("url_canon", "o.priority", "o.warc_ts"))
+
+    # 5. seen update + unseen filter. When the previous round
+    # estimated the Bloom past target_fpp, REBUILD from the exact
+    # relation at doubled width instead of merging (merging
+    # different widths is meaningless — positions use different
+    # moduli).
+    new_seen = seen_exact.unionByName(batch.select("url_canon")) \
+        .dropDuplicates(["url_canon"])
+    if rebuild_bloom:
+        bloom_bits *= 2
+        new_bloom = seenmod.build(new_seen, num_buckets=num_buckets,
+                                  bits_per_bucket=bloom_bits)
+        rebuild_bloom = False
+    else:
+        batch_bloom = seenmod.build(batch.select("url_canon"),
+                                    num_buckets=num_buckets,
+                                    bits_per_bucket=bloom_bits)
+        new_bloom = seenmod.merge_blooms(seen_bloom, batch_bloom) \
+            if have_bloom else batch_bloom
+
+    fresh = seenmod.filter_unseen(candidates, new_bloom, new_seen,
+                                  num_buckets=num_buckets)
+    fresh = fresh.join(blocked, "url_canon", "left_anti") \
+        .join(leftover.select("url_canon"), "url_canon", "left_anti")
+
+    # 6. snapshot commit (also truncates plan lineage). Metrics
+    # ride the commit: discovered_new via df.observe on the
+    # frontier write, bloom saturation via observe on the bloom
+    # write, row counts from the committed parquet footers —
+    # ZERO additional Spark jobs.
+    fresh_obs = Observation(f"fresh-r{round_no}")
+    flagged = (leftover.withColumn("_fresh", F.lit(False))
+               .unionByName(fresh.select(*FRONTIER_COLS)
+                            .withColumn("_fresh", F.lit(True))))
+    new_frontier = flagged.observe(
+        fresh_obs,
+        F.sum(F.col("_fresh").cast("long")).alias("n_fresh")
+    ).drop("_fresh")
+
+    bloom_obs = Observation(f"bloom-r{round_no}")
+    new_bloom = new_bloom.observe(
+        bloom_obs,
+        F.max("n_keys").alias("max_keys"),
+        F.max(F.length("bloom")).alias("m_bytes"))
+
+    def bloom_metrics(_lineage, _obs=bloom_obs):
+        got = _obs.get
+        n = int(got["max_keys"] or 0)
+        m_bits = int(got["m_bytes"] or 0) * 8
+        fpp = _estimate_fpp(n, m_bits)
+        return {"bloom_max_keys_per_bucket": n,
+                "bloom_m_bits": m_bits,
+                "bloom_est_fpp": round(fpp, 6),
+                "bloom_rebuild_next": fpp > target_fpp}
+
+    metrics = {
+        "round": round_no,
+        "scheduled": n_scheduled,
+        "extracted_texts": lambda L: L["results"]["n_rows"],
+        "discovered_new":
+            lambda L, _o=fresh_obs: int(_o.get["n_fresh"] or 0),
+        "frontier_size": lambda L: L["frontier"]["n_rows"],
+        "budget_per_host": budget_per_host,
+        "_bloom": bloom_metrics,
+    }
+    store.commit({
+        "frontier": new_frontier,
+        "seen_exact": new_seen,
+        "seen_bloom": new_bloom,
+        "blocked": blocked,
+        "batch": batch,
+        "results": results,
+    }, metrics)
+    return False
 
 
 def _seed_frontier(seeds: DataFrame) -> DataFrame:

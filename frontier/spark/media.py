@@ -1,11 +1,13 @@
 """Multimodal column operators: image/audio/video as opaque binary +
 typed metadata.
 
-The container has no image/audio codecs, so the decode step is a
-deterministic fake behind ``FAKE_CODEC`` (shape-correct, seedable) —
-the Spark-side plumbing (schemas, Arrow batch shape, partitioning,
-UDF signatures) is real and tested. Swapping in PIL/librosa is a
-one-function change inside the kernel.
+The decode step is a REAL pure-stdlib codec
+(frontier/kernel/imagecodec.py): PNG via struct+zlib with full
+scanline unfiltering, WAV via RIFF/PCM16 parsing, and the minimal
+FRMS multi-frame container for the video path (the container has no
+mp4 demuxer — swapping in PIL/cv2 remains a one-function change
+inside the kernel, but decoded dimensions, pixels, and features are
+now real, not byte arithmetic; round-2 VERDICT item 3).
 
 Media rows ride with pages as extra resource parts (content_type
 image/*), so the canonical source is the exploded ``resources``
@@ -25,8 +27,6 @@ FEATURES_DDL = ("url string, part_index int, media_kind string, "
                 "width int, height int, n_frames int, "
                 "feature array<float>")
 
-FAKE_CODEC = True  # no PIL/cv2/librosa in this container
-
 
 def media_resources(resources: DataFrame) -> DataFrame:
     """Filter resource parts to media mime types and attach a typed
@@ -41,21 +41,56 @@ def media_resources(resources: DataFrame) -> DataFrame:
                     F.length("content").alias("n_bytes"), "media_kind"))
 
 
-def _fake_decode(blob: bytes) -> tuple[int, int, int, list[float]]:
-    """Deterministic stand-in for a real codec: derives a stable
-    (width, height, n_frames, 8-dim feature) straight from the blob
-    bytes — a "header read", like a real codec sniffing dimensions.
-    Pure byte arithmetic (no hashing) so the DuckDB correctness
-    oracle can restate it from the page generator's blob rule."""
-    if FAKE_CODEC:
-        h = (blob or b"").ljust(16, b"\0")
-        width = 16 + h[0] % 240
-        height = 16 + h[1] % 240
-        n_frames = 1 + h[2] % 4
-        feat = [(b - 128) / 128.0 for b in h[8:16]]
-        return width, height, n_frames, feat
-    raise NotImplementedError(
-        "real codec path: plug PIL.Image.open(io.BytesIO(blob)) here")
+def _phase_means(values, modulus: int = 8) -> list[float]:
+    """8-dim feature: mean of ``values`` at positions ≡ k (mod 8) —
+    a deliberately simple, exactly-restatable featurizer (every value
+    a dyadic rational, so the DuckDB oracle compares exactly)."""
+    sums = [0] * modulus
+    counts = [0] * modulus
+    for i, v in enumerate(values):
+        sums[i % modulus] += v
+        counts[i % modulus] += 1
+    return [s / c if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def decode_media(blob: bytes) -> tuple[int | None, int | None,
+                                       int | None, list[float]]:
+    """Sniff + decode one media blob → (width, height, n_frames,
+    8-dim feature) via the pure-stdlib codecs
+    (frontier/kernel/imagecodec.py):
+
+    * PNG → real IHDR dimensions; feature = 8-phase pixel-byte means,
+      normalized (x−128)/128 — computed from the UNFILTERED pixels,
+      so a wrong Sub/Up/Average/Paeth implementation flips the
+      DuckDB feature oracle;
+    * FRMS (multi-frame container, the video path) → n_frames from
+      the container, dimensions/feature from frame 0;
+    * WAV → width = total samples, height = channels, feature =
+      8-phase sample means / 32768;
+    * anything else/malformed → (None, None, None, []) — §2.8:
+      one junk blob never kills a task.
+    """
+    from frontier.kernel import imagecodec as codec
+
+    try:
+        if blob is None:
+            raise ValueError("empty blob")
+        if blob.startswith(codec.PNG_SIG):
+            w, h, _ct, pixels = codec.png_decode(blob)
+            return w, h, 1, [(m - 128) / 128.0
+                             for m in _phase_means(pixels)]
+        if blob.startswith(codec.FRMS_SIG):
+            frames = codec.frames_decode(blob)
+            w, h, _ct, pixels = codec.png_decode(frames[0])
+            return w, h, len(frames), [(m - 128) / 128.0
+                                       for m in _phase_means(pixels)]
+        if blob.startswith(b"RIFF"):
+            channels, _rate, samples = codec.wav_decode(blob)
+            return (len(samples), channels, 1,
+                    [m / 32768.0 for m in _phase_means(samples)])
+        raise ValueError("unknown media container")
+    except Exception:
+        return None, None, None, []
 
 
 def extract_features(media: DataFrame, batch_size_hint: int = 64
@@ -85,7 +120,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64
             blobs = batch.column("content").to_pylist()
             ws, hs, nf, feats = [], [], [], []
             for blob in blobs:
-                w, h, n, f = _fake_decode(blob)
+                w, h, n, f = decode_media(blob)
                 ws.append(w)
                 hs.append(h)
                 nf.append(n)

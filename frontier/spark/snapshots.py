@@ -139,17 +139,42 @@ class SnapshotStore:
         long crawl needs before snapshot expiration (each round
         appends its own directory; at 10^4 rounds that is 10^4 scans
         for a full-results read). Returns the compacted path, or None
-        when no snapshot carries the table."""
+        when nothing carries the table.
+
+        Prior compacted outputs are FOLDED IN (round-2 ADVICE: on a
+        resumed crawl after an earlier expire, the live manifests no
+        longer reference the expired rounds' results — without the
+        fold, a file named ``results-upto-N`` would silently miss
+        them). Overlap between a prior compacted file and still-live
+        snapshots is removed by a distinct pass ((url_canon, round)
+        is unique by the seen-set contract, so distinct is exact);
+        superseded compacted dirs are deleted after the new one is in
+        place.
+        """
+        import glob as globmod
+        import shutil
+
         parts = []
         for sid in self.snapshot_ids():
             man = self.manifest(sid)
             if table in man["tables"]:
                 parts.append(man["tables"][table])
-        if not parts:
+        cdir = os.path.join(self.root, "data", "compacted")
+        prev = sorted(globmod.glob(os.path.join(cdir, f"{table}-upto-*")))
+        prev = [p for p in prev if not p.endswith(".staging")]
+        sources = parts + prev
+        if not sources:
             return None
-        out = os.path.join(self.root, "data", "compacted",
-                           f"{table}-upto-{self.latest_id()}")
-        spark.read.parquet(*parts).write.mode("overwrite").parquet(out)
+        out = os.path.join(cdir, f"{table}-upto-{self.latest_id()}")
+        staging = out + ".staging"
+        spark.read.parquet(*sources).dropDuplicates() \
+            .write.mode("overwrite").parquet(staging)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(staging, out)
+        for p in prev:
+            if p != out:
+                shutil.rmtree(p, ignore_errors=True)
         return out
 
     def expire(self, keep_last: int) -> list[int]:

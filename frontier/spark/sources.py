@@ -106,11 +106,14 @@ def write_part_files(resources: DataFrame, out_dir: str) -> None:
     slim.foreachPartition(dump)
 
 
-def write_warc_files(pages: DataFrame, out_dir: str) -> None:
+def write_warc_files(pages: DataFrame, out_dir: str,
+                     compress: bool = False) -> None:
     """pages → WARC files (ISO 28500, the Common-Crawl container):
     one ``response`` record per page (MHTML bytes as the block), one
     ``.warc`` file per partition — executor-side fan-out, no driver
-    collect. Round-trips byte-exactly through ingest_warc_files
+    collect. ``compress=True`` writes the ``.warc.gz`` member-gzip
+    framing Common Crawl ships (each record its own gzip member).
+    Round-trips byte-exactly through ingest_warc_files
     (tests/test_warc.py)."""
     import uuid
 
@@ -121,14 +124,17 @@ def write_warc_files(pages: DataFrame, out_dir: str) -> None:
         "url",
         (F.unix_micros(F.col("warc_ts"))).alias("ts_us"),
         "html")
+    ext = ".warc.gz" if compress else ".warc"
 
     def dump(rows):
-        fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.warc")
+        fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}{ext}")
         wrote = False
         with open(fname, "wb") as fh:
             for row in rows:
-                fh.write(kwarc.page_record(
-                    row["url"], int(row["ts_us"]), bytes(row["html"])))
+                record = kwarc.page_record(
+                    row["url"], int(row["ts_us"]), bytes(row["html"]))
+                fh.write(kwarc.gzip_member(record) if compress
+                         else record)
                 wrote = True
         if not wrote:
             os.remove(fname)  # empty partition: no empty file
@@ -137,14 +143,17 @@ def write_warc_files(pages: DataFrame, out_dir: str) -> None:
 
 
 def ingest_warc_files(spark: SparkSession, path: str,
-                      glob: str = "*.warc") -> DataFrame:
+                      glob: str = "*.warc*") -> DataFrame:
     """Directory of WARC files → pages(url, warc_ts, html, text, lang).
 
     binaryFile source (one file per row, whole-file bytes), then an
     Arrow kernel splits records by Content-Length offsets and slices
-    blocks zero-copy. url ← WARC-Target-URI, warc_ts ← WARC-Date
-    (microsecond precision). A malformed FILE is skipped, never fails
-    the task (§2.8); a clamped tail record yields a short block.
+    blocks zero-copy. Files are sniffed per-file: a gzip magic means
+    member-gzip ``.warc.gz`` (members inflated then parsed), so plain
+    and gzip files can mix in one directory. url ← WARC-Target-URI,
+    warc_ts ← WARC-Date (microsecond precision). A malformed FILE is
+    skipped, never fails the task (§2.8); a clamped tail record
+    yields a short block.
     """
     import pyarrow as pa
 
@@ -161,6 +170,8 @@ def ingest_warc_files(spark: SparkSession, path: str,
             urls, tss, htmls, texts, langs = [], [], [], [], []
             for blob in blobs:
                 try:
+                    if bytes(blob[:2]) == kwarc.GZIP_MAGIC:
+                        blob = kwarc.gunzip_members(blob)
                     records = kwarc.parse_warc_records(blob)
                 except Exception:
                     continue  # malformed file: skip, never fail task

@@ -135,6 +135,46 @@ def first_seen_texts(texts_stream: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def streaming_crawl_round(spark: SparkSession, pages_path: str,
+                          seeds: DataFrame, robots: DataFrame | None,
+                          budget_per_host: int,
+                          out_path: str, checkpoint: str,
+                          max_files_per_trigger: int | None = None):
+    """One incremental crawl round as an ``availableNow`` streaming
+    job — the streaming twin of ``crawl.crawl(max_rounds=1)``
+    (round-2 VERDICT item 9), composing the existing pieces:
+
+    1. schedule the seed frontier exactly like the batch round
+       (canon → robots gate → skew-safe politeness cut — all batch:
+       the scheduled set is small and static for the round);
+    2. stream pages as files land (parquet file source; several
+       triggers under availableNow when ``max_files_per_trigger``
+       is set);
+    3. stream-static broadcast semi-join onto the scheduled set —
+       page bytes never shuffle, same property as the batch fetch;
+    4. incremental main-text extraction (same Arrow kernel);
+    5. exactly-once per url across triggers via the stateful seen
+       set (:func:`first_seen_texts`);
+    6. append results parquet (url_canon, text) + checkpoint.
+
+    tests/test_streaming.py proves the results table is identical to
+    ``crawl.crawl(max_rounds=1)``'s round-0 results over the same
+    pages/seeds/robots/budget.
+    """
+    from . import crawl as crawlmod
+    from . import schedule as sched
+
+    frontier = crawlmod._seed_frontier(seeds)
+    batch = sched.schedule(frontier, robots, budget_per_host) \
+        .select("url_canon")
+    stream = stream_pages(spark, pages_path, max_files_per_trigger)
+    texts = stream_extract(stream) \
+        .join(F.broadcast(batch), "url_canon") \
+        .where(F.col("text").isNotNull())
+    once = first_seen_texts(texts).select("url_canon", "text")
+    return run_available_now(once, out_path, checkpoint)
+
+
 def run_available_now(df: DataFrame, out_path: str, checkpoint: str,
                       output_mode: str = "append"):
     """Run a streaming DF to parquet with availableNow (one

@@ -90,6 +90,32 @@ def _encode_payload(payload: bytes, encoding: str) -> bytes:
     return payload
 
 
+def _media_blob(target: int, video: bool) -> tuple[bytes, str]:
+    """REAL media bytes for subresource parts (round-3: the fake
+    byte-arithmetic codec is gone). From the 16 md5 bytes
+    ``h = md5('blob:target')``:
+
+    * image: a real PNG — width ``4 + 4*(h[0]%4)``, height 4, RGB
+      pixels = the md5 digest tiled over ``w*4*3`` bytes (always a
+      multiple of 16, so the decoder's 8-phase feature means reduce
+      to ``(h[k]+h[k+8])/2`` — exactly restatable in the DuckDB
+      oracle). Rows cycle filters Sub/Up/Average/Paeth, so decoding
+      exercises every unfilter path.
+    * video: an FRMS container of ``1 + h[2]%4`` copies of that PNG.
+    """
+    from frontier.kernel import imagecodec
+
+    h = hashlib.md5(f"blob:{target}".encode()).digest()
+    w = 4 + 4 * (h[0] % 4)
+    n = w * 4 * 3
+    png = imagecodec.png_encode(w, 4, (h * (n // 16)),
+                                filters=[1, 2, 3, 4])
+    if video:
+        return (imagecodec.frames_encode([png] * (1 + h[2] % 4)),
+                "video/x-frms")
+    return png, "image/png"
+
+
 def _part(content_location: str, content_type: str, encoding: str,
           payload: bytes, include_cte: bool = True) -> bytes:
     cte = (f"Content-Transfer-Encoding: {encoding}\r\n".encode()
@@ -126,12 +152,12 @@ def build_page(doc_id: int, text: str, lang: str, n_docs: int,
     subparts = []
     for i, target in enumerate(links_for(doc_id, n_docs)):
         # md5, not blake2b: the media-features oracle restates the
-        # codec's byte arithmetic in SQL, and DuckDB only has md5.
+        # PNG's pixel rule in SQL, and DuckDB only has md5.
         # The third subresource (i == 2, docs with doc_id%4 == 3) is
-        # a VIDEO part so the frame-sampling path has real rows —
-        # rule is pure doc_id arithmetic for the oracle.
-        blob = hashlib.md5(f"blob:{target}".encode()).digest()
-        ctype = "video/mp4" if i == 2 else "image/png"
+        # a VIDEO part (FRMS multi-frame container of real PNGs) so
+        # the frame-sampling path has real rows — rule is pure doc_id
+        # arithmetic for the oracle.
+        blob, ctype = _media_blob(target, video=(i == 2))
         subparts.append(_part(url_for(target), ctype, "base64", blob))
 
     # displacement must be a pure function of doc_id so the DuckDB
@@ -247,6 +273,40 @@ def seeds_from_documents(spark, sf_dir: str, every: int = 5,
                 names=["url", "priority", "source_rank"])
 
     return docs.mapInArrow(gen, "url string, priority int, source_rank bigint")
+
+
+def audio_parts_from_documents(spark, sf_dir: str):
+    """Audio media rows: one REAL RIFF/PCM16 WAV blob per document,
+    16 mono samples ``s[j] = ((doc_id*31 + j*17) % 256 - 128) * 256``
+    — pure doc_id arithmetic so the DuckDB oracle can restate the
+    decoded 8-phase feature means exactly (samples are multiples of
+    256 → means are dyadic rationals)."""
+    import pyarrow as pa
+
+    from frontier.kernel import imagecodec
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            urls, idxs, kinds, blobs = [], [], [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                samples = [((doc_id * 31 + j * 17) % 256 - 128) * 256
+                           for j in range(16)]
+                urls.append(f"audio://doc{doc_id}")
+                idxs.append(0)
+                kinds.append("audio")
+                blobs.append(imagecodec.wav_encode(samples, 8000, 1))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(idxs, pa.int32()),
+                 pa.array(kinds, pa.string()),
+                 pa.array(blobs, pa.binary())],
+                names=["url", "part_index", "media_kind", "content"])
+
+    return docs.mapInArrow(
+        gen, "url string, part_index int, media_kind string, "
+             "content binary")
 
 
 def robots_df(spark, num_hosts: int = NUM_HOSTS):

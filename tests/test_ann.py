@@ -121,3 +121,59 @@ def test_cosine_near_dup_no_false_positives(emb):
         cos = float(v64[a] @ v64[b] / (norms[a] * norms[b]))
         assert cos >= thr - 1e-9
         assert abs(cu - int(np.floor(cos * 1_000_000))) <= 1
+
+
+def test_ivf_trained_codebook_beats_seeds_on_clustered(spark):
+    """Lloyd-trained codebook vs untrained md5-seeded codebook on
+    CLUSTERED embeddings with sparse/offset vec_ids (ids start at
+    1000 — the round-2 ADVICE failure mode for the old
+    ``vec_id < n_cells`` centroid pick). Training must not lose
+    recall, and on this construction strictly gains it."""
+    rng = np.random.RandomState(7)
+    n_clusters, per = 8, 25
+    centers = rng.randn(n_clusters, DIM) * 4
+    vecs = np.concatenate(
+        [centers[c] + 0.15 * rng.randn(per, DIM)
+         for c in range(n_clusters)]).astype(np.float32)
+    ids = [1000 + 3 * i for i in range(len(vecs))]  # sparse + offset
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]], 0)
+         for i in range(len(vecs))],
+        "vec_id long, embedding array<float>, label int")
+    qids = ids[::37]
+    queries = df.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+
+    norms = np.linalg.norm(vecs.astype(np.float64), axis=1)
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    exact = {}
+    for q in qids:
+        qi = id_to_row[q]
+        sims = vecs.astype(np.float64) @ vecs[qi].astype(np.float64) \
+            / (norms * norms[qi])
+        order = sorted(range(len(vecs)), key=lambda i: (-sims[i], ids[i]))
+        exact[q] = {ids[i] for i in order if ids[i] != q}and None or \
+            [ids[i] for i in order if ids[i] != q][:3]
+
+    def recall(n_iter):
+        got = ann.ivf_topk(df, queries, k=3, n_cells=n_clusters,
+                           n_probe=1, n_iter=n_iter).collect()
+        return sum(1 for r in got if r.neighbor_id in exact[r.query_id])
+
+    r_seed, r_trained = recall(0), recall(2)
+    total = 3 * len(qids)
+    assert r_trained >= r_seed
+    assert r_trained >= 0.9 * total, (r_seed, r_trained, total)
+
+
+def test_ivf_codebook_deterministic_and_nonempty(emb):
+    df, _ = emb
+    a = {r.cell_id: list(r.c)
+         for r in ann.ivf_codebook(df, n_cells=8, n_iter=2).collect()}
+    b = {r.cell_id: list(r.c)
+         for r in ann.ivf_codebook(df, n_cells=8, n_iter=2).collect()}
+    assert a == b and len(a) == 8
+    # every centroid element is an exact integer-valued double
+    for c in a.values():
+        assert all(x == int(x) for x in c)

@@ -1,27 +1,133 @@
-"""Multimodal plumbing: media filtering, stub decode features,
-frame sampling (real codecs are stubbed — the schemas, batching and
-partitioning are what's under test)."""
+"""Multimodal pipeline: pure-stdlib codecs (PNG/WAV/FRMS), media
+filtering, decode features, frame sampling."""
+
+import hashlib
+import struct
+import zlib
 
 import pyspark.sql.functions as F
 import pytest
 
 from frontier import synth
+from frontier.kernel import imagecodec
 from frontier.spark import media, parse
 
 
 @pytest.fixture(scope="module")
 def resources(spark, sf_dir):
+    # decode=True: the real codec reads PNG/FRMS bytes, so parts must
+    # have their base64 transfer-encoding decoded first
     pages = synth.pages_from_documents(spark, sf_dir)
-    res = parse.parse_pages(pages).cache()
+    res = parse.parse_pages(pages, decode=True).cache()
     res.count()
     return res
+
+
+# ---------------------------------------------------------------------------
+# codec kernel
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    w, h = 5, 7
+    pixels = bytes((x * 37 + 11) % 256 for x in range(w * h * 3))
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4], [4, 2]):
+        blob = imagecodec.png_encode(w, h, pixels, filters=filters)
+        gw, gh, ct, got = imagecodec.png_decode(blob)
+        assert (gw, gh, ct) == (w, h, 2)
+        assert got == pixels, filters
+
+
+def test_png_decode_handbuilt_byte_identical():
+    """Decode a PNG assembled chunk-by-chunk here (not by our own
+    encoder): a 2x2 gray image, filter Sub on row 0, Up on row 1."""
+    # pixels: rows [10, 20], [30, 45]
+    raw = bytes([1, 10, 10,          # Sub: 10, 10+10=20
+                 2, 20, 25])         # Up:  10+20=30, 20+25=45
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+    blob = (imagecodec.PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+    w, h, ct, pixels = imagecodec.png_decode(blob)
+    assert (w, h, ct) == (2, 2, 0)
+    assert pixels == bytes([10, 20, 30, 45])
+
+
+def test_png_rgba_and_errors():
+    pix = bytes(range(4 * 2 * 4))
+    blob = imagecodec.png_encode(2, 4, pix, color_type=6, filters=[4])
+    assert imagecodec.png_decode(blob)[3] == pix
+    with pytest.raises(ValueError):
+        imagecodec.png_decode(b"not a png at all")
+    with pytest.raises(ValueError):
+        imagecodec.png_decode(imagecodec.PNG_SIG + b"\x00\x00")
+
+
+def test_wav_roundtrip():
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 100]
+    blob = imagecodec.wav_encode(samples, sample_rate=44100, channels=2)
+    ch, rate, got = imagecodec.wav_decode(blob)
+    assert (ch, rate, got) == (2, 44100, samples)
+    with pytest.raises(ValueError):
+        imagecodec.wav_decode(b"RIFFxxxxJUNK")
+
+
+def test_frms_roundtrip():
+    frames = [b"frame-one", b"", b"x" * 300]
+    blob = imagecodec.frames_encode(frames)
+    assert imagecodec.frames_decode(blob) == frames
+    with pytest.raises(ValueError):
+        imagecodec.frames_decode(b"FRMS\x02\x00\x00\x00\x09short")
+
+
+def test_decode_media_dispatch():
+    png = imagecodec.png_encode(4, 4, bytes(48), filters=[3])
+    w, h, n, feat = media.decode_media(png)
+    assert (w, h, n) == (4, 4, 1)
+    assert feat == [-1.0] * 8  # all-zero pixels → (0-128)/128
+    vid = imagecodec.frames_encode([png, png, png])
+    assert media.decode_media(vid)[:3] == (4, 4, 3)
+    wav = imagecodec.wav_encode([256] * 16)
+    w, h, n, feat = media.decode_media(wav)
+    assert (w, h, n) == (16, 1, 1)
+    assert feat == [256 / 32768.0] * 8
+    # junk degrades, never raises (§2.8)
+    assert media.decode_media(b"\x00junk") == (None, None, None, [])
+    assert media.decode_media(None) == (None, None, None, [])
+    # truncated PNG (valid signature, bad body) degrades too
+    assert media.decode_media(png[:20]) == (None, None, None, [])
+
+
+def test_synth_blob_feature_rule():
+    """The oracle's restatement: decoded phase means over the tiled
+    md5 pixels reduce to (h[k]+h[k+8])/2."""
+    blob, ctype = synth._media_blob(42, video=False)
+    assert ctype == "image/png"
+    h = hashlib.md5(b"blob:42").digest()
+    w, ht, n, feat = media.decode_media(blob)
+    assert (w, ht, n) == (4 + 4 * (h[0] % 4), 4, 1)
+    for k in range(8):
+        want = ((h[k] + h[k + 8]) / 2 - 128) / 128
+        assert abs(feat[k] - want) < 1e-9, k
+    vid, vtype = synth._media_blob(42, video=True)
+    assert vtype == "video/x-frms"
+    assert media.decode_media(vid)[2] == 1 + h[2] % 4
+
+
+# ---------------------------------------------------------------------------
+# Spark pipeline
+# ---------------------------------------------------------------------------
 
 
 def test_media_resources_filter(resources):
     m = media.media_resources(resources)
     kinds = {r.media_kind for r in m.select("media_kind")
              .distinct().collect()}
-    # synth: image/png subresources + a video/mp4 third part
+    # synth: image/png subresources + a video/x-frms third part
     assert kinds == {"image", "video"}
     assert m.where(F.col("n_bytes") <= 0).count() == 0
 
@@ -32,7 +138,9 @@ def test_extract_features_deterministic_shape(resources):
     assert feats.count() == m.count()
     row = feats.first()
     assert len(row.feature) == 8
-    assert 16 <= row.width <= 255 and 16 <= row.height <= 255
+    assert row.width in (4, 8, 12, 16) and row.height == 4
+    # no decode failures on the synthetic corpus — real PNGs decode
+    assert feats.where(F.col("width").isNull()).count() == 0
     # deterministic: same blob → same feature
     again = media.extract_features(m)
     joined = feats.alias("a").join(
@@ -59,3 +167,14 @@ def test_frame_sample_explodes_video_only(resources, spark):
         "height int, n_frames int, feature array<float>")
     got = media.frame_sample(vid, every=2).collect()
     assert [r.frame_idx for r in got] == [0, 2]
+
+
+def test_audio_features_pipeline(spark, sf_dir):
+    parts = synth.audio_parts_from_documents(spark, sf_dir)
+    feats = media.extract_features(parts)
+    row = feats.where(F.col("url") == "audio://doc3").first()
+    samples = [((3 * 31 + j * 17) % 256 - 128) * 256 for j in range(16)]
+    assert (row.width, row.height, row.n_frames) == (16, 1, 1)
+    for k in range(8):
+        assert abs(row.feature[k]
+                   - (samples[k] + samples[k + 8]) / 2 / 32768.0) < 1e-9

@@ -51,3 +51,27 @@ def test_compact_then_expire(spark, store):
 def test_expire_keeps_all_when_keep_exceeds(store):
     assert store.expire(keep_last=10) == []
     assert store.snapshot_ids() == [0, 1, 2, 3]
+
+
+def test_compact_folds_in_prior_compaction(spark, store):
+    """Compact → expire → more rounds → compact again: the new
+    ``results-upto-N`` must contain ALL rounds, including those whose
+    snapshots were expired (their rows survive only in the prior
+    compacted file)."""
+    first = store.compact_results(spark)
+    store.expire(keep_last=1)  # rounds 0-2 survive only in `first`
+    for rnd in (4, 5):
+        results = spark.createDataFrame(
+            [(f"u{rnd}-{i}", rnd) for i in range(5)],
+            "url_canon string, round int")
+        store.commit({"results": results}, {"round": rnd})
+
+    path = store.compact_results(spark)
+    compacted = spark.read.parquet(path)
+    assert {r.round for r in compacted.collect()} == {0, 1, 2, 3, 4, 5}
+    assert compacted.count() == 30  # overlap (round 3) deduped
+    # superseded compacted dir cleaned up
+    assert not os.path.exists(first)
+    # idempotent: compacting again folds its own output, no dup rows
+    again = store.compact_results(spark)
+    assert spark.read.parquet(again).count() == 30

@@ -117,3 +117,37 @@ def test_first_seen_texts_exactly_once(spark, sf_dir, pages_dir,
     assert got.count() == 150  # only the 50 new urls added
     assert got.groupBy("url_canon").count() \
         .where(F.col("count") > 1).count() == 0
+
+
+def test_streaming_crawl_round_equals_batch_round(spark, sf_dir,
+                                                  pages_dir,
+                                                  tmp_path_factory):
+    """The availableNow streaming crawl round must produce the exact
+    results table of crawl.crawl(max_rounds=1) over the same pages,
+    seeds, robots, and budget — several triggers forced via
+    maxFilesPerTrigger so exactly-once state is actually exercised."""
+    from frontier.spark import crawl
+    from frontier.spark.snapshots import SnapshotStore
+
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots = synth.robots_df(spark).cache()
+    budget = 3
+
+    # batch round
+    pages = spark.read.parquet(pages_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+    store = SnapshotStore(str(tmp_path_factory.mktemp("batch_round")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=budget, max_rounds=1, num_buckets=8)
+    batch_results = {(r.url_canon, r.text) for r in
+                     store.read(spark, "results").collect()}
+
+    # streaming round over the same parquet directory
+    out = str(tmp_path_factory.mktemp("stream_round_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_round_ckpt"))
+    streaming.streaming_crawl_round(
+        spark, pages_dir, seeds, robots, budget, out, ckpt,
+        max_files_per_trigger=1)
+    got = {(r.url_canon, r.text) for r in
+           spark.read.parquet(out).collect()}
+    assert got == batch_results and len(got) > 0

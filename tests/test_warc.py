@@ -114,3 +114,55 @@ def test_warc_parser_fuzz_valid_prefix():
         assert (rec + junk)[start:end] == b"BLOCK"
 
     run()
+
+
+def test_gzip_member_roundtrip_kernel():
+    recs = [warc.page_record(f"https://h/p{i}", i * 1000, b"B" * i)
+            for i in range(1, 5)]
+    buf = b"".join(warc.gzip_member(r) for r in recs)
+    assert warc.gunzip_members(buf) == b"".join(recs)
+    # deterministic bytes (mtime pinned)
+    assert warc.gzip_member(recs[0]) == warc.gzip_member(recs[0])
+    with pytest.raises(ValueError):
+        warc.gunzip_members(buf + b"trailing junk")
+    with pytest.raises(ValueError):
+        warc.gunzip_members(buf[:-3])  # truncated member
+
+
+def test_spark_warc_gz_roundtrip_and_mixed_dir(spark, sf_dir, tmp_path):
+    """pages → .warc.gz member-gzip files → ingest byte-identical;
+    plain .warc and .warc.gz files mix in one directory."""
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(80).cache()
+    out = str(tmp_path / "warcs")
+    sources.write_warc_files(pages.limit(40), out, compress=True)
+    import pyspark.sql.functions as F
+    rest = pages.join(pages.limit(40).select("url"), "url", "left_anti")
+    sources.write_warc_files(rest, out, compress=False)
+
+    back = sources.ingest_warc_files(spark, out)
+    a = {r.url: (int(r.warc_ts.timestamp() * 1_000_000), bytes(r.html))
+         for r in pages.select("url", "warc_ts", "html").collect()}
+    b = {r.url: (int(r.warc_ts.timestamp() * 1_000_000), bytes(r.html))
+         for r in back.collect()}
+    assert a == b
+    # at least one file of each framing actually exists
+    import os
+    names = os.listdir(out)
+    assert any(n.endswith(".warc.gz") for n in names)
+    assert any(n.endswith(".warc") and not n.endswith(".warc.gz")
+               for n in names)
+
+
+def test_spark_warc_gz_skips_corrupt_member_file(spark, sf_dir, tmp_path):
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(10).cache()
+    out = tmp_path / "warcs"
+    sources.write_warc_files(pages, str(out), compress=True)
+    (out / "bad.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
+    back = sources.ingest_warc_files(spark, str(out))
+    assert back.count() == 10
