@@ -79,6 +79,14 @@ def main():
                     num_buckets=64, fetch_mode=fetch_mode)
         took = time.perf_counter() - t0
         page_index.unpersist()
+        # Local-mode measurement hygiene: broadcast/shuffle artifacts
+        # are cleaned by ContextCleaner only when the DRIVER GCs, and
+        # a 48g heap may not GC for many minutes — consecutive runs
+        # then degrade 2x from accumulated executor-side blocks
+        # (measured: 83→162 s across 3 identical crawls; flat with
+        # this GC). Real clusters GC per-executor naturally; see also
+        # spark.cleaner.periodicGC.interval.
+        spark.sparkContext._jvm.System.gc()
         return took
 
     one_crawl(8)

@@ -217,8 +217,21 @@ def robots_allowed_expr(path, rules):
     lexicographic by field; true > false). Pattern regexes were
     compiled once at parse time (kernel.compile_pattern) — portable
     between java.util.regex here and Python re in the simulator.
+
+    Hot-path note: ``rlike`` with a COLUMN pattern recompiles the
+    regex per (row, rule). A rule without ``*`` and without a
+    trailing ``$`` compiles to ``^<literal>`` — i.e. plain prefix
+    match — so the overwhelmingly-common literal rule matches via
+    ``startswith`` on the raw pattern and only genuine wildcard
+    rules pay the regex.
     """
-    matched = F.filter(rules, lambda r: F.rlike(path, r.getField("re")))
+    def _match(r):
+        pat = r.getField("pat")
+        literal = (~pat.contains("*")) & (~pat.endswith("$"))
+        return F.when(literal, path.startswith(pat)) \
+            .otherwise(F.rlike(path, r.getField("re")))
+
+    matched = F.filter(rules, _match)
     best = F.array_max(F.transform(
         matched,
         lambda r: F.struct(r.getField("spec").alias("spec"),

@@ -10,9 +10,31 @@ scales with executor cores. The pandas kernel remains as the
 differential oracle (tests/test_urlcanon_jvm.py proves jvm == python
 on generated + adversarial URLs).
 
-Building blocks and why they are exact:
+Performance shape (round-3 profile, 3.1M links, local[32]): the first
+cut of this chain ran the master regex FIVE times per row (one rlike
++ four regexp_extract) and unconditionally built per-row arrays for
+the path fold and query sort — 2-4x slower than the pandas kernel it
+replaced. This version:
 
-* the master regex is the SAME pattern string as the kernel's
+* runs the regex ONCE (validity only). Components come from plain
+  substring arithmetic, which is exact BECAUSE the row matched: the
+  regex grammar ``[scheme:]//netloc[path][?query][#frag]`` puts the
+  first ``#`` at the fragment, the first ``?`` before it at the
+  query, and the netloc/path split at the first ``/`` after ``//`` —
+  so ``substring_index``/``substring`` reproduce the capture groups;
+* ``btrim`` for ASCII-whitespace strip instead of a regexp_replace;
+* ``length == octet_length`` for the host ASCII gate (UTF-8 encodes
+  exactly the code points < 128 in one byte) instead of a regex;
+* the dot-segment fold runs only when the path contains ``/.``
+  (paths always start with ``/`` or are empty, so every ``.``/``..``
+  segment implies that substring); otherwise the fold is the
+  identity by construction;
+* the query-pair sort runs only when the query contains ``&``; the
+  single-chunk form is rendered directly.
+
+Remaining building blocks and why they are exact:
+
+* the validity regex is the SAME pattern string as the kernel's
   (urlnorm.URL_REGEX) — it uses only constructs with identical
   semantics in Python ``re`` and ``java.util.regex``;
 * UTF-8 binary string comparison (Spark) equals code-point comparison
@@ -31,42 +53,80 @@ from pyspark.sql import Column, functions as F
 
 from frontier.kernel.urlnorm import URL_REGEX
 
-_WS = r"^[ \t\r\n\x0B\f]+|[ \t\r\n\x0B\f]+$"
-_ASCII_ONLY = r"^[\x00-\x7F]*$"
-_AFTER_FIRST_COLON = r"^[^:]*:([\s\S]*)$"
+# ASCII whitespace set — identical to kernel _ASCII_WS
+_TRIM = " \t\r\n\x0b\f"
 
 
-def canon_expr(url: Column) -> Column:
-    """Column of canonicalized URLs (NULL where not canonicalizable)."""
-    u = F.regexp_replace(url, _WS, "")
-    matched = u.rlike(URL_REGEX)
+def _components(u: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, netloc, path, query) of a whitespace-trimmed URL.
 
-    scheme = F.lower(F.regexp_extract(u, URL_REGEX, 1))
-    netloc = F.regexp_extract(u, URL_REGEX, 2)
-    path_raw = F.regexp_extract(u, URL_REGEX, 3)
-    query_raw = F.regexp_extract(u, URL_REGEX, 4)
+    Valid ONLY for rows where ``u`` matches URL_REGEX (callers mask
+    invalid rows); on such rows these substring operations reproduce
+    the regex capture groups exactly (see module docstring).
+    """
+    maxlen = F.lit(2147483647)
+    uf = F.substring_index(u, "#", 1)          # strip fragment
+    upq = F.substring_index(uf, "?", 1)        # before query
+    query = F.when(F.length(uf) > F.length(upq),
+                   F.substring(uf, F.length(upq) + 2, maxlen)) \
+        .otherwise(F.lit(""))
+    no_scheme = upq.startswith("//")
+    scheme = F.when(no_scheme, F.lit("")) \
+        .otherwise(F.lower(F.substring_index(upq, ":", 1)))
+    rest = F.when(no_scheme, F.substring(upq, 3, maxlen)) \
+        .otherwise(F.substring(upq, F.length(scheme) + 4, maxlen))
+    netloc = F.substring_index(rest, "/", 1)
+    path = F.substring(rest, F.length(netloc) + 1, maxlen)
+    return scheme, netloc, path, query
 
-    # --- host / port (kernel _split_hostport) ---
-    hostinfo = F.element_at(F.split(netloc, "@", -1), -1)
+
+def _host_port(netloc: Column) -> tuple[Column, Column]:
+    """(raw host, port string) — kernel _split_hostport. Userinfo
+    (before the LAST ``@``) dropped; bracketed IPv6 keeps ``:`` inside
+    brackets (rare → regex only on that branch); else port is
+    everything after the first ``:``."""
+    maxlen = F.lit(2147483647)
+    hostinfo = F.when(netloc.contains("@"),
+                      F.element_at(F.split(netloc, "@", -1), -1)) \
+        .otherwise(netloc)
     bracketed = hostinfo.startswith("[")
+    nb_host = F.substring_index(hostinfo, ":", 1)
     host_raw = F.when(
         bracketed, F.regexp_extract(hostinfo, r"^\[([^\]]*)", 1)
-    ).otherwise(F.substring_index(hostinfo, ":", 1))
+    ).otherwise(nb_host)
     port_s = F.when(
         bracketed,
         F.regexp_extract(
             F.regexp_extract(hostinfo, r"^\[[^\]]*\]([\s\S]*)$", 1),
-            _AFTER_FIRST_COLON, 1),
-    ).otherwise(F.regexp_extract(hostinfo, _AFTER_FIRST_COLON, 1))
+            r"^[^:]*:([\s\S]*)$", 1),
+    ).when(hostinfo.contains(":"),
+           F.substring(hostinfo, F.length(nb_host) + 2, maxlen)) \
+        .otherwise(F.lit(""))
+    return host_raw, port_s
 
-    host_ok = (host_raw != "") & host_raw.rlike(_ASCII_ONLY)
+
+def _is_ascii(s: Column) -> Column:
+    # UTF-8 uses one byte exactly for code points < 128, so
+    # char-length == byte-length ⟺ str.isascii()
+    return F.length(s) == F.octet_length(s)
+
+
+def canon_expr(url: Column) -> Column:
+    """Column of canonicalized URLs (NULL where not canonicalizable)."""
+    u = F.btrim(url, F.lit(_TRIM))
+    matched = u.rlike(URL_REGEX)
+    scheme, netloc, path_raw, query_raw = _components(u)
+    host_raw, port_s = _host_port(netloc)
+
+    host_ok = (host_raw != "") & _is_ascii(host_raw)
     host = F.lower(host_raw)
 
     # {1,9} digits so the int cast can never overflow under ANSI mode;
     # longer all-digit ports exceed 65535 anyway → invalid.
     port_numeric = port_s.rlike(r"^[0-9]{1,9}$")
     port_i = F.when(port_numeric, port_s.cast("int"))
-    port_ok = (port_s == "") | (port_numeric & (port_i <= 65535))
+    port_ok = F.when(port_s == "", F.lit(True)) \
+        .otherwise(port_numeric & (port_i <= 65535))
 
     default_port = (F.when(scheme == "http", 80)
                     .when(scheme == "https", 443))
@@ -79,7 +139,9 @@ def canon_expr(url: Column) -> Column:
     ).otherwise(F.concat(hostfmt, F.lit(":"), port_i.cast("string")))
 
     # --- path: left fold over '/'-split segments (kernel
-    # _normalize_path). The nested whens are lazily evaluated, so
+    # _normalize_path) — but only when a '.'/'..' segment can exist
+    # (path starts with '/' or is empty ⇒ any such segment implies
+    # the substring "/."). The nested whens are lazily evaluated, so
     # element_at(acc, -1) only runs when the accumulator is non-empty.
     def _fold(acc, seg):
         last_empty = F.element_at(acc, -1) == ""
@@ -91,25 +153,36 @@ def canon_expr(url: Column) -> Column:
                       .otherwise(popped))
                 .otherwise(F.concat(acc, F.array(seg))))
 
-    segs = F.split(path_raw, "/", -1)
-    folded = F.aggregate(
-        segs, F.expr("CAST(array() AS array<string>)"), _fold)
-    norm = F.array_join(folded, "/")
+    norm = F.when(
+        path_raw.contains("/."),
+        F.array_join(F.aggregate(
+            F.split(path_raw, "/", -1),
+            F.expr("CAST(array() AS array<string>)"), _fold), "/"),
+    ).otherwise(path_raw)
     path_out = F.when(norm.startswith("/"), norm) \
         .otherwise(F.concat(F.lit("/"), norm))
 
-    # --- query: stable sort by key via struct(key, index, rendered)
-    chunks = F.filter(F.split(query_raw, "&", -1),
-                      lambda c: c != F.lit(""))
-    pairs = F.transform(
-        chunks,
-        lambda c, i: F.struct(
-            F.substring_index(c, "=", 1).alias("k"),
-            i.alias("i"),
-            F.when(c.contains("="), c)
-            .otherwise(F.concat(c, F.lit("="))).alias("kv")))
-    q_out = F.array_join(
-        F.transform(F.array_sort(pairs), lambda s: s.getField("kv")), "&")
+    # --- query: stable sort by key via struct(key, index, rendered);
+    # the array machinery only runs on multi-chunk queries.
+    def _sorted_query(qr: Column) -> Column:
+        chunks = F.filter(F.split(qr, "&", -1),
+                          lambda c: c != F.lit(""))
+        pairs = F.transform(
+            chunks,
+            lambda c, i: F.struct(
+                F.substring_index(c, "=", 1).alias("k"),
+                i.alias("i"),
+                F.when(c.contains("="), c)
+                .otherwise(F.concat(c, F.lit("="))).alias("kv")))
+        return F.array_join(
+            F.transform(F.array_sort(pairs),
+                        lambda s: s.getField("kv")), "&")
+
+    q_out = F.when(query_raw == "", F.lit("")) \
+        .when(~query_raw.contains("&"),
+              F.when(query_raw.contains("="), query_raw)
+              .otherwise(F.concat(query_raw, F.lit("=")))) \
+        .otherwise(_sorted_query(query_raw))
 
     base = F.concat(
         F.when(scheme != "", F.concat(scheme, F.lit(":")))
@@ -125,14 +198,10 @@ def canon_expr(url: Column) -> Column:
 
 def host_expr(url: Column) -> Column:
     """Column of lowercased hosts (kernel host_of), NULL where absent."""
-    u = F.regexp_replace(url, _WS, "")
+    u = F.btrim(url, F.lit(_TRIM))
     matched = u.rlike(URL_REGEX)
-    netloc = F.regexp_extract(u, URL_REGEX, 2)
-    hostinfo = F.element_at(F.split(netloc, "@", -1), -1)
-    host_raw = F.when(
-        hostinfo.startswith("["),
-        F.regexp_extract(hostinfo, r"^\[([^\]]*)", 1),
-    ).otherwise(F.substring_index(hostinfo, ":", 1))
+    _, netloc, _, _ = _components(u)
+    host_raw, _ = _host_port(netloc)
     valid = (F.coalesce(matched, F.lit(False))
-             & (host_raw != "") & host_raw.rlike(_ASCII_ONLY))
+             & (host_raw != "") & _is_ascii(host_raw))
     return F.when(valid, F.lower(host_raw))
