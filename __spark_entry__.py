@@ -337,6 +337,22 @@ def q_training_select(spark, sf_dir):
             .select("doc_id", "n_tokens", "lang_guess"))
 
 
+def q_gopher_quality(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.gopher_quality(_read(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.stratified_sample(
+        _read(spark, sf_dir, "documents")).select("doc_id", "lang")
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.tfidf_top_terms(_read(spark, sf_dir, "documents"))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -674,6 +690,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_ivf_topk": q_ann_ivf_topk,
         "training_select": q_training_select,
+        "gopher_quality": q_gopher_quality,
+        "stratified_sample": q_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1311,6 +1330,68 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             WHERE n_tokens >= 5 AND alpha_ratio >= 0.5
               AND lang_guess != 'C'""",
+        "gopher_quality": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS ws,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                       AS n_word_chars
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS INTEGER) AS n_words,
+                     n_word_chars / greatest(len(ws), 1) AS mean_word_len,
+                     len(list_filter(ws,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       / greatest(len(ws), 1) AS alpha_word_ratio,
+                     CAST(len(list_filter(ws,
+                         x -> list_contains(['the','a','data'], x)))
+                       AS INTEGER) AS stopword_hits
+              FROM w)
+            SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+                   stopword_hits,
+                   (n_words >= 20 AND n_words <= 1000) AS ok_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                     AS ok_mean_len,
+                   (alpha_word_ratio >= 0.9) AS ok_alpha,
+                   (stopword_hits >= 2) AS ok_stopwords,
+                   (n_words >= 20 AND n_words <= 1000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND alpha_word_ratio >= 0.9
+                    AND stopword_hits >= 2) AS passes_gopher
+            FROM s""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(concat('0x', substr(md5(concat(
+                        'strat:', lang, ':', CAST(doc_id AS VARCHAR))),
+                      1, 8)) AS BIGINT) % 10000
+                  < CASE WHEN lang = 'en' THEN 2500
+                         WHEN lang = 'zh' THEN 5000
+                         ELSE 10000 END""",
+        "tfidf_top_terms": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM terms GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * ln((nd.n_docs + 1.0) / (dfreq.df + 1)),
+                           9) AS tfidf
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd)
+            SELECT doc_id, term, tf, tfidf, CAST(rnk AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rnk
+                  FROM scored)
+            WHERE rnk <= 3""",
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (

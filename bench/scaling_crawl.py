@@ -89,26 +89,39 @@ def main():
         spark.sparkContext._jvm.System.gc()
         return took
 
-    one_crawl(8)
-    one_crawl(32)
-    best = {8: 1e9, 32: 1e9}
-    for rnd in range(rounds):
-        for par in (8, 32):
-            took = one_crawl(par)
-            best[par] = min(best[par], took)
-            print(f"round {rnd} par={par}: {took:.2f}s", flush=True)
+    # Both canon implementations are measured: "jvm" is the cluster
+    # default whose width-scaling the north rule grades (Python
+    # workers share executor cores on a real cluster); "pandas" is
+    # the local-mode default and the absolute-throughput reference
+    # here (local Python workers run OUTSIDE the width limit, so its
+    # 8-wide times are flattered — see BENCH/BASELINE.md).
+    results = {}
+    for impl in ("jvm", "pandas"):
+        os.environ["FRONTIER_CANON_IMPL"] = impl
+        one_crawl(8)
+        one_crawl(32)
+        best = {8: 1e9, 32: 1e9}
+        for rnd in range(rounds):
+            for par in (8, 32):
+                took = one_crawl(par)
+                best[par] = min(best[par], took)
+                print(f"[{impl}] round {rnd} par={par}: {took:.2f}s",
+                      flush=True)
+        eff = best[8] / best[32] / 4
+        results[impl] = (best[8], best[32], eff)
+        print(f"crawl loop [{impl}]: {best[8]:.2f}s -> {best[32]:.2f}s"
+              f"  eff={eff:.3f}", flush=True)
 
-    t8, t32 = best[8], best[32]
-    eff = t8 / t32 / 4
-    md = (f"# crawl-loop scaling raw ({n_pages:,} pages, "
-          f"{crawl_rounds} crawl rounds, budget 1000/host)\n\n"
-          f"| width | wall s |\n|---|---|\n"
-          f"| 8-wide | {t8:.2f} |\n| 32-wide | {t32:.2f} |\n\n"
-          f"raw N→4N efficiency = {eff:.3f}\n")
+    md = [f"# crawl-loop scaling raw ({n_pages:,} pages, "
+          f"{crawl_rounds} crawl rounds, budget 1000/host)\n",
+          "| canon impl | 8-wide s | 32-wide s | raw N→4N eff |",
+          "|---|---|---|---|"]
+    for impl, (t8, t32, eff) in results.items():
+        md.append(f"| {impl} | {t8:.2f} | {t32:.2f} | {eff:.3f} |")
+    md.append("")
     with open(os.path.join(REPO, "BENCH", "scaling_crawl_raw.md"),
               "w") as fh:
-        fh.write(md)
-    print(f"crawl loop: {t8:.2f}s -> {t32:.2f}s  eff={eff:.3f}")
+        fh.write("\n".join(md) + "\n")
     spark.stop()
 
 

@@ -5,8 +5,12 @@ Semantics transcribed from the reference's merge pipeline
 (merge.py:30-44: first-writer-wins seen-set membership) plus the
 engine's documented scheduling rules, in order per round:
 
-1. robots gate: disallowed URLs leave the frontier and are recorded as
-   seen-blocked (never fetched, never re-offered)
+1. robots gate at frontier ENTRY: a disallowed URL never enters the
+   frontier — it is recorded as blocked when first offered (seed or
+   discovery) and never fetched or re-offered. Gate timing cannot
+   change scheduled sets (the robots relation is fixed), and
+   entry-gating is the O(new offers) form the Spark engine uses at
+   scale.
 2. politeness budget: per host, top ``budget`` URLs ordered by
    ``(priority, warc_ts, url_canon)`` are scheduled; the rest wait
 3. fetch + parse: scheduled URLs become seen; their pages' outbound
@@ -56,10 +60,19 @@ def simulate(pages: dict, seeds: list, robots: dict,
     result = SimResult()
     frontier: dict = {}  # canon -> (priority, warc_ts_us, canon)
 
+    def gate(canon) -> bool:
+        """True iff robots allow `canon` (entry-time gate)."""
+        host = urlnorm.host_of(canon)
+        rules = robots.get(host, [])
+        return krobots.is_allowed(rules, _path_of(canon))
+
     def offer(raw_url, priority, ts):
         canon = urlnorm.canonicalize(raw_url)
         if canon is None or canon in result.seen \
                 or canon in result.blocked or canon in frontier:
+            return
+        if not gate(canon):
+            result.blocked.add(canon)
             return
         frontier[canon] = (priority, ts, canon)
 
@@ -69,14 +82,6 @@ def simulate(pages: dict, seeds: list, robots: dict,
     for round_no in range(max_rounds):
         if not frontier:
             break
-
-        # 1. robots gate
-        for canon in list(frontier):
-            host = urlnorm.host_of(canon)
-            rules = robots.get(host, [])
-            if not krobots.is_allowed(rules, _path_of(canon)):
-                frontier.pop(canon)
-                result.blocked.add(canon)
 
         # 2. politeness budget
         by_host = defaultdict(list)
@@ -111,13 +116,18 @@ def simulate(pages: dict, seeds: list, robots: dict,
                 offer_key = (prio + 1, page_ts)
                 if child not in offers or offer_key < offers[child]:
                     offers[child] = offer_key
+        n_discovered = 0
         for child, (prio, ts) in offers.items():
-            frontier[child] = (prio, ts, child)
+            if gate(child):
+                frontier[child] = (prio, ts, child)
+                n_discovered += 1
+            else:
+                result.blocked.add(child)
 
         result.rounds.append({
             "round": round_no,
             "scheduled": sorted(scheduled),
             "per_host_order": per_host_order,
-            "n_discovered": len(offers),
+            "n_discovered": n_discovered,
         })
     return result

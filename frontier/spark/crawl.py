@@ -3,7 +3,14 @@
 Batch-iterative BFS with per-round Iceberg-style snapshot commits
 (SURVEY.md §7.4). Each round:
 
-1. robots gate — blocked URLs leave the frontier permanently
+1. robots gate AT FRONTIER ENTRY — seeds and fresh discoveries are
+   gated once, when offered; blocked URLs never enter the frontier.
+   (Round-2 shape re-gated the ENTIRE frontier every round — at
+   10^10 frontier rows that is O(frontier) regex/prefix work per
+   round for URLs whose verdict cannot change. Entry-gating is
+   O(new offers) and produces identical scheduled sets because the
+   robots relation is fixed for the session; the simulator mirrors
+   the same rule.)
 2. politeness budget — skew-safe per-host top-k (schedule.py)
 3. "fetch" — in the sandbox a join against the synthetic ``pages``
    table on ``url_canon`` (on a real cluster this stage is the HTTP
@@ -154,9 +161,11 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                                                    False))
     else:
         frontier = _seed_frontier(seeds)
+        blocked = spark.createDataFrame([], "url_canon string")
+        if robots is not None:
+            frontier, blocked = _gate_frontier(frontier, robots)
         seen_exact = spark.createDataFrame([], "url_canon string")
         seen_bloom = spark.createDataFrame([], seenmod.BLOOM_DDL)
-        blocked = spark.createDataFrame([], "url_canon string")
         start_round = 0
         have_bloom = False
 
@@ -204,20 +213,12 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     Appends every persisted DataFrame to ``persisted`` (the caller
     unpersists in a finally — round-2 ADVICE: an exception between
     persist and commit must not leak cached partitions)."""
-    staged = sched.with_host(frontier)
-
-    # 1. robots gate — blocked URLs leave the frontier permanently
-    if robots is not None:
-        staged = sched.apply_robots(staged, robots)
-        newly_blocked = staged.where(~F.col("robots_allowed")) \
-            .select("url_canon")
-        staged = staged.where(F.col("robots_allowed"))
-        blocked = blocked.unionByName(newly_blocked) \
-            .dropDuplicates(["url_canon"])
+    # 1. (robots already enforced at frontier entry — every frontier
+    # row is allowed by invariant; see _gate_frontier below.)
     # slim (no page bytes) and consumed twice — the politeness cut
     # AND the leftover anti-join inside the frontier write; without
-    # persist the gate chain recomputes at commit time
-    staged = staged.persist()
+    # persist the host chain recomputes at commit time
+    staged = sched.with_host(frontier).persist()
     persisted.append(staged)
 
     # 2. politeness budget (skew-safe two-phase top-k). Persisted:
@@ -284,7 +285,24 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     fresh = seenmod.filter_unseen(candidates, new_bloom, new_seen,
                                   num_buckets=num_buckets)
     fresh = fresh.join(blocked, "url_canon", "left_anti") \
-        .join(leftover.select("url_canon"), "url_canon", "left_anti")
+        .join(leftover.select("url_canon"), "url_canon", "left_anti") \
+        .persist()
+    # persist: the discovery chain (explode → canon → bloom probe →
+    # anti-joins) feeds BOTH the frontier write and (via the entry
+    # gate below) the blocked write — without the cache each commit
+    # write recomputes it from the fetch join up (measured 19 s + 13 s
+    # per round of pure recompute at sf0.001; ~1 s cached). Released
+    # by the caller's finally like every other per-round persist.
+    persisted.append(fresh)
+
+    # robots gate at frontier entry: only NEW offers are matched
+    # (O(discoveries), not O(frontier)). newly_blocked is disjoint
+    # from `blocked` by construction (fresh was just anti-joined
+    # against it) and internally distinct (fresh is grouped by
+    # url_canon), so the union needs no dedup shuffle.
+    if robots is not None:
+        fresh, newly_blocked = _gate_frontier(fresh, robots)
+        blocked = blocked.unionByName(newly_blocked)
 
     # 6. snapshot commit (also truncates plan lineage). Metrics
     # ride the commit: discovered_new via df.observe on the
@@ -335,6 +353,20 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         "results": results,
     }, metrics)
     return False
+
+
+def _gate_frontier(offers: DataFrame,
+                   robots: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split offered frontier rows (FRONTIER_COLS) into
+    (allowed, blocked url_canon) under the broadcast robots gate.
+    Applied once per URL — at seed time and at discovery time — so
+    frontier rows carry the invariant "robots-allowed"."""
+    gated = sched.apply_robots(sched.with_host(offers), robots)
+    allowed = gated.where(F.col("robots_allowed")) \
+        .select(*FRONTIER_COLS)
+    newly_blocked = gated.where(~F.col("robots_allowed")) \
+        .select("url_canon")
+    return allowed, newly_blocked
 
 
 def _seed_frontier(seeds: DataFrame) -> DataFrame:

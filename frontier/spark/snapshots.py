@@ -79,9 +79,14 @@ class SnapshotStore:
         snap_id = 0 if parent is None else parent + 1
         lineage: dict[str, Any] = {}
         table_paths: dict[str, str] = {}
+        debug_timing = bool(os.environ.get("FRONTIER_DEBUG_TIMING"))
         for name, df in tables.items():
             path = os.path.join(self.root, "data", f"snap-{snap_id}", name)
+            t0 = time.perf_counter()
             df.write.mode("overwrite").parquet(path)
+            if debug_timing:
+                print(f"[snapshot] write {name}: "
+                      f"{time.perf_counter() - t0:.2f}s", flush=True)
             files = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet"))
             # per-partition lineage: one (file, n_rows) pair per task

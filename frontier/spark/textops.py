@@ -621,3 +621,117 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3,
                         F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
             .where(F.col("hamming") <= max_hamming)
             .select("doc_a", "doc_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# quality gating / sampling / term weighting (training-data selection)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "data")
+"""Corpus-tuned 'stopword' probe set (the synthetic vocabulary has no
+English function words beyond these). Real deployments swap in the
+Gopher list — the operator shape is identical."""
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   min_words: int = 20, max_words: int = 1000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   min_alpha_ratio: float = 0.9,
+                   min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1):
+    word-count band, mean-word-length band, fraction of words with an
+    alphabetic character, and a minimum stopword count. Emits the raw
+    signals plus per-rule booleans and the composite gate — keeping
+    the signals makes threshold sweeps a column filter, not a rerun.
+
+    Pure codegen'd string/array expressions, no shuffle, no UDF:
+    scales linearly and pipelines with the scan. Mean word length is
+    computed as (non-whitespace chars) / words so the DuckDB oracle
+    can restate it without list aggregation.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(F.trim(t), r"\s+"),
+                     lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    mean_len = n_word_chars / F.greatest(n_words, F.lit(1))
+    n_alpha_words = F.size(F.filter(
+        words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_ratio = n_alpha_words / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(F.filter(
+        words, lambda x: x.isin(*GOPHER_STOPWORDS)))
+
+    ok_words = (n_words >= min_words) & (n_words <= max_words)
+    ok_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    ok_alpha = alpha_ratio >= min_alpha_ratio
+    ok_stop = stop_hits >= min_stopword_hits
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_mean_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_alpha & ok_stop).alias("passes_gopher"))
+
+
+def stratified_sample(docs: DataFrame,
+                      rates_bp: dict[str, int] | None = None,
+                      default_rate_bp: int = 10000,
+                      stratum_col: str = "lang",
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/domain
+    rebalancing step of a training-data mix. A row survives iff
+    ``md5(salt:stratum:doc_id)``'s first 32 bits, mod 10 000, fall
+    under the stratum's rate in basis points (10 000 = keep all).
+
+    Properties that matter at 100 TB: no shuffle (pure filter — it
+    pipelines with the scan and pushes the surviving-fraction cost to
+    zero), deterministic under retries/resume (hash of stable keys,
+    no RNG state), and composable (two passes with the same salt
+    nest: rates multiply only with DIFFERENT salts). Integer basis
+    points + md5 keep it exactly restatable in the DuckDB oracle.
+    """
+    rates_bp = {"en": 2500, "zh": 5000} if rates_bp is None else rates_bp
+    bucket = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(stratum_col),
+        F.col("doc_id").cast("string"))), 1, 8), 16, 10) \
+        .cast("bigint") % 10000
+    rate = F.lit(default_rate_bp)
+    for stratum, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(bp))) \
+            .otherwise(rate)
+    return docs.where(bucket < rate)
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1))).
+
+    Plan shape at scale: one shuffle for per-doc term counts (keyed
+    on (doc_id, term) — uniform), one small aggregation to the
+    document-frequency relation (vocabulary-sized → broadcast back),
+    and a per-doc window bounded by the doc's distinct-term count.
+    Scores are rounded to 9 dp BEFORE ranking so the Java and C
+    libm ``ln`` (≤1 ulp apart) can never rank cross-engine
+    differently; ties break by term ascending.
+    """
+    terms = docs.select("doc_id", F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit("[a-z]+"), 0)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  F.col("tf") * F.log((F.col("n_docs") + F.lit(1).cast("double"))
+                                      / (F.col("df") + 1)), 9)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tf", "tfidf", "rank"))

@@ -196,6 +196,137 @@ def canon_expr(url: Column) -> Column:
     return F.when(valid, result)
 
 
+def with_canon(df, url_col: str = "url",
+               out_col: str = "url_canon"):
+    """``df`` + canonicalized URL column — the PLAN-CHEAP form.
+
+    Semantically identical to ``withColumn(out, canon_expr(url))``
+    (tests/test_urlcanon_jvm.py proves it), but each shared
+    subexpression is bound ONCE as a temporary projection column
+    instead of being re-nested at every use site. The single-Column
+    form duplicates every level of the chain 2-3× per reference, so
+    its Catalyst tree grows combinatorially — ~2 s of driver-side
+    analysis + Janino codegen for EVERY new plan that embeds it
+    (measured on a 1-row input). The optimizer keeps these named
+    steps because CollapseProject refuses to inline an expression it
+    would have to duplicate; runtime row work is the same, and the
+    crawl loop's per-round plan compile drops from seconds to
+    tens of milliseconds.
+
+    Temp columns are ``_uc_``-prefixed and dropped before returning.
+    """
+    P = "_uc_"
+    maxlen = F.lit(2147483647)
+    steps: list[tuple[str, Column]] = []
+
+    def let(name: str, col: Column) -> Column:
+        steps.append((P + name, col))
+        return F.col(P + name)
+
+    u = let("u", F.btrim(F.col(url_col), F.lit(_TRIM)))
+    matched = let("match", u.rlike(URL_REGEX))
+    uf = let("uf", F.substring_index(u, "#", 1))
+    upq = let("upq", F.substring_index(uf, "?", 1))
+    query_raw = let("q", F.when(
+        F.length(uf) > F.length(upq),
+        F.substring(uf, F.length(upq) + 2, maxlen)).otherwise(F.lit("")))
+    no_scheme = let("nosch", upq.startswith("//"))
+    scheme = let("sch", F.when(no_scheme, F.lit(""))
+                 .otherwise(F.lower(F.substring_index(upq, ":", 1))))
+    rest = let("rest", F.when(no_scheme, F.substring(upq, 3, maxlen))
+               .otherwise(F.substring(upq, F.length(scheme) + 4, maxlen)))
+    netloc = let("netloc", F.substring_index(rest, "/", 1))
+    path_raw = let("path", F.substring(rest, F.length(netloc) + 1, maxlen))
+
+    hostinfo = let("hostinfo", F.when(
+        netloc.contains("@"),
+        F.element_at(F.split(netloc, "@", -1), -1)).otherwise(netloc))
+    bracketed = let("br", hostinfo.startswith("["))
+    nb_host = let("nbhost", F.substring_index(hostinfo, ":", 1))
+    host_raw = let("hostraw", F.when(
+        bracketed, F.regexp_extract(hostinfo, r"^\[([^\]]*)", 1))
+        .otherwise(nb_host))
+    port_s = let("ports", F.when(
+        bracketed,
+        F.regexp_extract(
+            F.regexp_extract(hostinfo, r"^\[[^\]]*\]([\s\S]*)$", 1),
+            r"^[^:]*:([\s\S]*)$", 1))
+        .when(hostinfo.contains(":"),
+              F.substring(hostinfo, F.length(nb_host) + 2, maxlen))
+        .otherwise(F.lit("")))
+
+    host_ok = let("hostok",
+                  (host_raw != "") & _is_ascii(host_raw))
+    host = let("host", F.lower(host_raw))
+    port_numeric = let("portnum", port_s.rlike(r"^[0-9]{1,9}$"))
+    port_i = let("porti", F.when(port_numeric, port_s.cast("int")))
+    port_ok = let("portok", F.when(port_s == "", F.lit(True))
+                  .otherwise(port_numeric & (port_i <= 65535)))
+
+    default_port = (F.when(scheme == "http", 80)
+                    .when(scheme == "https", 443))
+    hostfmt = let("hostfmt", F.when(
+        host.contains(":"), F.concat(F.lit("["), host, F.lit("]")))
+        .otherwise(host))
+    netloc_out = let("netout", F.when(
+        (port_s == "") | (port_i == F.coalesce(default_port, F.lit(-1))),
+        hostfmt).otherwise(
+        F.concat(hostfmt, F.lit(":"), port_i.cast("string"))))
+
+    def _fold(acc, seg):
+        last_empty = F.element_at(acc, -1) == ""
+        popped = F.slice(acc, F.lit(1), F.size(acc) - 1)
+        return (F.when(seg == ".", acc)
+                .when(seg == "..",
+                      F.when(F.size(acc) == 0, acc)
+                      .when(last_empty, acc)
+                      .otherwise(popped))
+                .otherwise(F.concat(acc, F.array(seg))))
+
+    norm = let("norm", F.when(
+        path_raw.contains("/."),
+        F.array_join(F.aggregate(
+            F.split(path_raw, "/", -1),
+            F.expr("CAST(array() AS array<string>)"), _fold), "/"))
+        .otherwise(path_raw))
+    path_out = let("pathout", F.when(norm.startswith("/"), norm)
+                   .otherwise(F.concat(F.lit("/"), norm)))
+
+    def _sorted_query(qr: Column) -> Column:
+        chunks = F.filter(F.split(qr, "&", -1),
+                          lambda c: c != F.lit(""))
+        pairs = F.transform(
+            chunks,
+            lambda c, i: F.struct(
+                F.substring_index(c, "=", 1).alias("k"),
+                i.alias("i"),
+                F.when(c.contains("="), c)
+                .otherwise(F.concat(c, F.lit("="))).alias("kv")))
+        return F.array_join(
+            F.transform(F.array_sort(pairs),
+                        lambda s: s.getField("kv")), "&")
+
+    q_out = let("qout", F.when(query_raw == "", F.lit(""))
+                .when(~query_raw.contains("&"),
+                      F.when(query_raw.contains("="), query_raw)
+                      .otherwise(F.concat(query_raw, F.lit("="))))
+                .otherwise(_sorted_query(query_raw)))
+
+    base = F.concat(
+        F.when(scheme != "", F.concat(scheme, F.lit(":")))
+        .otherwise(F.lit("")),
+        F.lit("//"), netloc_out, path_out)
+    result = F.when(q_out != "", F.concat(base, F.lit("?"), q_out)) \
+        .otherwise(base)
+    valid = (F.coalesce(matched, F.lit(False))
+             & host_ok & F.coalesce(port_ok, F.lit(False)))
+
+    for name, col in steps:
+        df = df.withColumn(name, col)
+    return df.withColumn(out_col, F.when(valid, result)) \
+        .drop(*[name for name, _ in steps])
+
+
 def host_expr(url: Column) -> Column:
     """Column of lowercased hosts (kernel host_of), NULL where absent."""
     u = F.btrim(url, F.lit(_TRIM))

@@ -269,3 +269,74 @@ def test_pagerank_plan_pinned(spark):
     step = textops._pagerank_step(contrib, ranks, nodes, 200, 0.85)
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_gopher_quality_rules(docs):
+    rows = {r.doc_id: r for r in textops.gopher_quality(
+        docs, min_words=3, max_words=6, min_mean_len=2.0,
+        max_mean_len=8.0, min_alpha_ratio=0.5,
+        min_stopword_hits=1).collect()}
+    for r in rows.values():
+        assert r.passes_gopher == (r.ok_word_count and r.ok_mean_len
+                                   and r.ok_alpha and r.ok_stopwords)
+        assert r.ok_word_count == (3 <= r.n_words <= 6)
+        assert r.ok_stopwords == (r.stopword_hits >= 1)
+
+
+def test_gopher_quality_signals_match_python(docs):
+    out = {r.doc_id: r for r in textops.gopher_quality(docs).collect()}
+    for row in docs.collect():
+        words = [w for w in row.text.strip().split() if w]
+        r = out[row.doc_id]
+        assert r.n_words == len(words)
+        exp_stop = sum(w in textops.GOPHER_STOPWORDS for w in words)
+        assert r.stopword_hits == exp_stop
+        assert abs(r.mean_word_len
+                   - sum(len(w) for w in words) / max(len(words), 1)) < 1e-9
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    import hashlib
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "t") for i in range(2000)],
+        "doc_id long, lang string, text string")
+    rates = {"en": 2500}
+    out = textops.stratified_sample(docs, rates_bp=rates,
+                                    default_rate_bp=10000)
+    got = sorted((r.doc_id, r.lang) for r in out.collect())
+    # mirror the hash rule in pure python
+    def keep(doc_id, lang):
+        h = hashlib.md5(f"strat:{lang}:{doc_id}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 10000
+        return bucket < rates.get(lang, 10000)
+    exp = sorted((i, "en" if i % 2 == 0 else "de")
+                 for i in range(2000) if keep(i, "en" if i % 2 == 0 else "de"))
+    assert got == exp
+    n_en = sum(1 for _, l in got if l == "en")
+    assert 150 < n_en < 350            # ~25% of 1000
+    assert sum(1 for _, l in got if l == "de") == 1000  # default keeps all
+    # determinism: second run identical
+    assert sorted((r.doc_id, r.lang) for r in out.collect()) == got
+
+
+def test_tfidf_top_terms_ranks(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple apple banana"),
+         (1, "banana cherry cherry cherry"),
+         (2, "apple date")],
+        "doc_id long, text string")
+    out = textops.tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.rank): r for r in out.collect()}
+    import math
+    # doc 1: cherry tf=3 df=1 -> top; banana tf=1 df=2
+    assert rows[(1, 1)].term == "cherry"
+    assert rows[(1, 1)].tf == 3
+    exp = round(3 * math.log((3 + 1) / (1 + 1)), 9)
+    assert abs(rows[(1, 1)].tfidf - exp) < 1e-9
+    assert rows[(1, 2)].term == "banana"
+    # doc 2: date (df=1) outranks apple (df=2); both tf=1
+    assert rows[(2, 1)].term == "date"
+    assert rows[(2, 2)].term == "apple"
+    # doc 0: apple tf=2 beats banana tf=1 at equal df
+    assert rows[(0, 1)].term == "apple"
+    assert rows[(0, 2)].term == "banana"

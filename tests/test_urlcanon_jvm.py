@@ -131,3 +131,22 @@ def test_pandas_impl_still_available(spark):
     assert row["url_canon"] == "http://h/p?a=2&b=1"
     with pytest.raises(ValueError):
         schedule.with_url_canon(df, impl="bogus")
+
+
+def test_staged_with_canon_equals_column_form(spark):
+    """urlcanon.with_canon (plan-cheap staged projections, the
+    scheduler default) must agree exactly with canon_expr AND the
+    Python kernel on the adversarial corpus."""
+    from pyspark.sql import functions as F
+
+    from frontier.spark import urlcanon
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(ADVERSARIAL)], "i long, url string")
+    both = urlcanon.with_canon(df, "url", "staged") \
+        .withColumn("expr_form", urlcanon.canon_expr(F.col("url")))
+    rows = both.orderBy("i").collect()
+    assert list(both.columns) == ["i", "url", "staged", "expr_form"]
+    for r in rows:
+        assert r.staged == r.expr_form, repr(r.url)
+        assert r.staged == urlnorm.canonicalize(r.url), repr(r.url)
