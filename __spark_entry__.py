@@ -353,6 +353,20 @@ def q_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_read(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: corpus docs vs the deterministic
+    'eval set' (doc_id % 97 == 0) on shared word 8-grams."""
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    return textops.decontam_overlap(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n=8)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -693,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "repetition_stats": q_repetition_stats,
+        "decontam_overlap": q_decontam_overlap,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1392,6 +1408,54 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY tfidf DESC, term) AS rnk
                   FROM scored)
             WHERE rnk <= 3""",
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, len(ws) - 2 AS total,
+                     list_transform(generate_series(1, len(ws)-2),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                       AS grams
+              FROM w)
+            SELECT doc_id,
+                   CAST(greatest(total, 0) AS INTEGER) AS n_ngrams,
+                   CAST(CASE WHEN total >= 1
+                        THEN len(list_distinct(grams)) ELSE 0 END
+                        AS INTEGER) AS n_distinct_ngrams,
+                   CASE WHEN total >= 1
+                        THEN (total - len(list_distinct(grams))) / total
+                        ELSE 0.0 END AS dup_ngram_frac
+            FROM g""",
+        "decontam_overlap": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, greatest(len(ws) - 7, 0) AS n_ngrams,
+                     list_transform(generate_series(1, len(ws)-7),
+                       i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||
+                                ws[i+6]||' '||ws[i+7])) AS grams
+              FROM w
+            ), e AS (
+              SELECT DISTINCT unnest(grams) AS eg
+              FROM g WHERE doc_id % 97 = 0
+            ), x AS (
+              SELECT doc_id, unnest(grams) AS gg FROM g
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_overlap
+              FROM x JOIN e ON x.gg = e.eg GROUP BY doc_id)
+            SELECT g.doc_id, CAST(g.n_ngrams AS INTEGER) AS n_ngrams,
+                   coalesce(h.n_overlap, 0) AS n_overlap,
+                   CASE WHEN g.n_ngrams >= 1
+                        THEN coalesce(h.n_overlap, 0) / g.n_ngrams
+                        ELSE 0.0 END AS overlap_frac
+            FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id""",
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (

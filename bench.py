@@ -157,7 +157,10 @@ def main():
         for name in ("seen_antijoin", "pricing_summary", "top_revenue",
                      "first_wins_dedup", "politeness_topk", "minhash_sig",
                      "lsh_pairs", "ann_cosine_topk", "exact_dedup",
-                     "token_stats", "simhash"):
+                     "token_stats", "simhash",
+                     # new in round 3 (no earlier-round comparison)
+                     "gopher_quality", "tfidf_top_terms",
+                     "decontam_overlap"):
             timed(name, lambda n=name: run_query(n))
 
     total = round(sum(timings.values()), 3)

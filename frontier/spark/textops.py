@@ -735,3 +735,77 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tf", "tfidf", "rank"))
+
+
+def repetition_stats(docs: DataFrame, n: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition (the other Gopher-family quality
+    axis): the fraction of word ``n``-grams that are duplicates of an
+    earlier occurrence. Boilerplate/template/spam pages repeat; clean
+    prose doesn't. ``dup_ngram_frac = 1 - distinct/total`` (0.0 when
+    the doc is shorter than one n-gram).
+
+    Pure per-row array expressions (split → transform → array_distinct)
+    — no shuffle, pipelines with the scan at any scale.
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                     lambda x: x != F.lit(""))
+    idx = F.sequence(F.lit(1), F.size(words) - n + 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]))
+    total = F.size(words) - n + 1
+    n_distinct = F.size(F.array_distinct(grams))
+    dup_frac = F.when(total >= 1,
+                      (total - n_distinct) / total).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        F.greatest(total, F.lit(0)).alias("n_ngrams"),
+        F.when(total >= 1, n_distinct).otherwise(F.lit(0))
+        .alias("n_distinct_ngrams"),
+        dup_frac.alias("dup_ngram_frac"))
+
+
+def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
+                     text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: for every corpus document, how many
+    of its word ``n``-grams also appear in the evaluation set —
+    training pipelines drop (or flag) documents overlapping eval
+    benchmarks. Returns (doc_id, n_ngrams, n_overlap, overlap_frac).
+
+    Plan shape at 100 TB: eval n-grams are DISTINCT md5 keys of a
+    benchmark-sized relation — tiny next to the corpus — so the join
+    is a broadcast semi-join against exploded corpus grams, followed
+    by one aggregation keyed on doc_id; corpus text never shuffles.
+    Gram identity is md5 (portable to the DuckDB oracle).
+    """
+    def gram_hashes(rel):
+        words = F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""))
+        idx = F.sequence(F.lit(1), F.size(words) - n + 1)
+        grams = F.transform(
+            idx, lambda i: F.md5(F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)])))
+        return rel.select(
+            "doc_id",
+            F.when(F.size(words) - n + 1 >= 1, grams)
+            .otherwise(F.array().cast("array<string>")).alias("grams"))
+
+    eval_grams = (gram_hashes(eval_docs)
+                  .select(F.explode("grams").alias("g")).distinct()
+                  .withColumn("_hit", F.lit(1)))
+    # single corpus pass: explode_outer keeps gram-less docs, the
+    # broadcast left join marks eval collisions, one doc_id
+    # aggregation restores per-doc shape
+    corpus = gram_hashes(docs).select(
+        "doc_id", F.size("grams").alias("n_ngrams"),
+        F.explode_outer("grams").alias("g"))
+    return (corpus.join(F.broadcast(eval_grams), "g", "left")
+            .groupBy("doc_id")
+            .agg(F.max("n_ngrams").alias("n_ngrams"),
+                 F.count(F.col("_hit")).alias("n_overlap"))
+            .withColumn("overlap_frac",
+                        F.when(F.col("n_ngrams") >= 1,
+                               F.col("n_overlap") / F.col("n_ngrams"))
+                        .otherwise(F.lit(0.0))))

@@ -340,3 +340,41 @@ def test_tfidf_top_terms_ranks(spark):
     # doc 0: apple tf=2 beats banana tf=1 at equal df
     assert rows[(0, 1)].term == "apple"
     assert rows[(0, 2)].term == "banana"
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"),         # grams: ab a, b a b, a b a, b a b... dup
+         (1, "one two three four"),  # 2 distinct trigrams, no dups
+         (2, "x y")],                # shorter than one trigram
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textops.repetition_stats(docs, n=3).collect()}
+    # doc 0: 4 grams ("a b a","b a b","a b a","b a b") -> 2 distinct
+    assert rows[0].n_ngrams == 4
+    assert rows[0].n_distinct_ngrams == 2
+    assert abs(rows[0].dup_ngram_frac - 0.5) < 1e-12
+    assert rows[1].n_ngrams == 2
+    assert rows[1].dup_ngram_frac == 0.0
+    assert rows[2].n_ngrams == 0
+    assert rows[2].n_distinct_ngrams == 0
+    assert rows[2].dup_ngram_frac == 0.0
+
+
+def test_decontam_overlap(spark):
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e"),     # shares gram "a b c" and "b c d" w/ eval
+         (1, "c d e f g"),     # shares "c d e"
+         (2, "x y z w v"),     # disjoint
+         (3, "a b")],          # too short for a 3-gram
+        "doc_id long, text string")
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textops.decontam_overlap(corpus, eval_docs, n=3).collect()}
+    assert rows[0].n_ngrams == 3 and rows[0].n_overlap == 3
+    assert abs(rows[0].overlap_frac - 1.0) < 1e-12
+    assert rows[1].n_ngrams == 3 and rows[1].n_overlap == 1
+    assert rows[2].n_overlap == 0
+    assert rows[3].n_ngrams == 0 and rows[3].n_overlap == 0
+    assert rows[3].overlap_frac == 0.0
