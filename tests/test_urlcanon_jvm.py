@@ -113,15 +113,28 @@ def test_idempotent_through_jvm(spark):
         assert jvm_c == c
 
 
-def test_scheduler_default_is_jvm(spark):
-    """The scheduler's canon stage must contain no Python eval node."""
+def test_canon_impl_contract(spark, monkeypatch):
+    """impl='jvm' must contain no Python eval node (the cluster
+    default); impl='auto' resolves to the pandas kernel under a
+    local master and honors $FRONTIER_CANON_IMPL; both agree."""
     from frontier.spark import schedule
     df = spark.createDataFrame([("http://A.b:80/x?b=1&a=2",)], "url string")
-    plan = schedule.with_url_canon(df) \
+    plan = schedule.with_url_canon(df, impl="jvm") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    row = schedule.with_url_canon(df).collect()[0]
-    assert row["url_canon"] == "http://a.b/x?a=2&b=1"
+    for impl in ("jvm", "pandas", "auto"):
+        row = schedule.with_url_canon(df, impl=impl).collect()[0]
+        assert row["url_canon"] == "http://a.b/x?a=2&b=1", impl
+    # auto under local[..] -> pandas (Python eval node present)
+    monkeypatch.delenv("FRONTIER_CANON_IMPL", raising=False)
+    auto_plan = schedule.with_url_canon(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in auto_plan
+    # env override pins the impl
+    monkeypatch.setenv("FRONTIER_CANON_IMPL", "jvm")
+    forced = schedule.with_url_canon(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in forced
 
 
 def test_pandas_impl_still_available(spark):
