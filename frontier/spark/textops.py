@@ -88,21 +88,42 @@ def bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         (bpe / F.greatest(ws, F.lit(1))).alias("fertility"))
 
 
+def _let(expr, fn):
+    """Let-binding inside a single expression: evaluate ``expr`` ONCE
+    per row and pass it to ``fn`` as a lambda variable. Higher-order
+    lambdas are interpreted, so a non-trivial subexpression
+    referenced inside a lambda body is re-evaluated PER ELEMENT —
+    binding through a one-element transform turns those references
+    into variable reads. (The gram-hash array below was re-hashed
+    once per sliding window without this: O(n²) md5 calls.)"""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def _winnow_prints(t, k: int, window: int):
     """Winnow fingerprint array for ONE text column value — the
-    shared inner expression of :func:`winnow_fingerprints`."""
+    shared inner expression of :func:`winnow_fingerprints`.
+    ``t`` must be a cheap reference (bound column or lambda
+    variable), never a computed expression: it is read per gram."""
     n_grams = F.length(t) - k + 1
     gram_hash_fn = (lambda i: F.conv(
         F.substring(F.md5(t.substr(i + 1, F.lit(k))), 1, 8), 16, 10)
         .cast("bigint"))
-    hashes = F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash_fn)
-    n_windows = n_grams - window + 1
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i, window)))
-    return F.when(n_windows >= 1, F.array_distinct(mins)) \
-        .when(n_grams >= 1, F.array(F.array_min(hashes))) \
+    hashes_expr = F.when(
+        n_grams >= 1,
+        F.transform(F.sequence(F.lit(0), n_grams - 1), gram_hash_fn)) \
         .otherwise(F.array().cast("array<bigint>"))
+
+    def body(hashes):
+        n_windows = F.size(hashes) - window + 1
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)))
+        return (F.when(n_windows >= 1, F.array_distinct(mins))
+                .when(F.size(hashes) >= 1,
+                      F.array(F.array_min(hashes)))
+                .otherwise(F.array().cast("array<bigint>")))
+
+    return _let(hashes_expr, body)
 
 
 def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
@@ -131,18 +152,22 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     """
     if max_chars <= k + window - 1:
         raise ValueError("max_chars must exceed k + window - 1")
-    t = F.lower(F.col(text_col))
+    bound = docs.withColumn("_lt", F.lower(F.col(text_col)))
+    t = F.col("_lt")  # bound: read per gram, must not be a computed expr
     stride = max_chars - (k + window - 2)
     n_chunks = F.ceil((F.length(t) - F.lit(k + window - 2))
                       / F.lit(stride)).cast("int")
-    chunked = F.array_sort(F.array_distinct(F.flatten(F.transform(
+    # chunk texts are bound as lambda variables (via _let-style
+    # nesting): the inner gram lambda must not re-slice the document
+    # per gram
+    chunk_texts = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: _winnow_prints(
-            t.substr(i * F.lit(stride) + 1, F.lit(max_chars)),
-            k, window)))))
+        lambda i: t.substr(i * F.lit(stride) + 1, F.lit(max_chars)))
+    chunked = F.array_sort(F.array_distinct(F.flatten(F.transform(
+        chunk_texts, lambda c: _winnow_prints(c, k, window)))))
     prints = F.when(F.length(t) <= max_chars,
                     _winnow_prints(t, k, window)).otherwise(chunked)
-    return docs.select(
+    return bound.select(
         "doc_id",
         F.coalesce(prints, F.array().cast("array<bigint>"))
         .alias("fingerprints"))
@@ -185,16 +210,25 @@ def _shingles(text_col: str, n: int = 3, distinct: bool = True):
     ``distinct=False`` skips the array_distinct pass — safe for
     min-aggregations (duplicates don't change a min) and measurably
     cheaper; Jaccard needs the distinct set.
+
+    The word array is let-bound (``_let``): referencing the split
+    expression inside the per-shingle lambda would re-split the text
+    once per shingle (interpreted HOF lambdas — measured ~4× on the
+    minhash bench query).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", words[i], words[i + 1], words[i + 2]))
-    if distinct:
-        sh = F.array_distinct(sh)
-    return F.when(F.size(words) >= n, sh) \
-        .otherwise(F.array(F.concat_ws(" ", words)))
+    words_expr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def body(words):
+        idx = F.sequence(F.lit(0), F.size(words) - n)
+        sh = F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", words[i], words[i + 1], words[i + 2]))
+        if distinct:
+            sh = F.array_distinct(sh)
+        return F.when(F.size(words) >= n, sh) \
+            .otherwise(F.array(F.concat_ws(" ", words)))
+
+    return _let(words_expr, body)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
@@ -650,8 +684,9 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     can restate it without list aggregation.
     """
     t = F.col(text_col)
-    words = F.filter(F.split(F.trim(t), r"\s+"),
-                     lambda x: x != F.lit(""))
+    docs = docs.withColumn("_gw", F.filter(
+        F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
+    words = F.col("_gw")  # bound once; four consumers below
     n_words = F.size(words)
     n_word_chars = F.length(F.regexp_replace(t, r"\s+", ""))
     mean_len = n_word_chars / F.greatest(n_words, F.lit(1))
@@ -746,19 +781,27 @@ def repetition_stats(docs: DataFrame, n: int = 3,
     the doc is shorter than one n-gram).
 
     Pure per-row array expressions (split → transform → array_distinct)
-    — no shuffle, pipelines with the scan at any scale.
+    — no shuffle, pipelines with the scan at any scale. The word
+    array is BOUND as a projection column first: referencing the
+    split expression from inside the per-gram lambda makes Catalyst
+    inline it, re-splitting the text once per gram (measured 30 s →
+    0.5 s on 5k docs).
     """
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
                      lambda x: x != F.lit(""))
-    idx = F.sequence(F.lit(1), F.size(words) - n + 1)
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]))
-    total = F.size(words) - n + 1
+    bound = docs.withColumn("_ws", words)
+    w = F.col("_ws")
+    total = F.size(w) - n + 1
+    # when-guarded: sequence(1, t) with t < 1 would generate a
+    # DESCENDING sequence in Spark, not an empty one
+    grams = F.when(total >= 1, F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.array_join(F.slice(w, i, n), " "))) \
+        .otherwise(F.array().cast("array<string>"))
     n_distinct = F.size(F.array_distinct(grams))
     dup_frac = F.when(total >= 1,
                       (total - n_distinct) / total).otherwise(F.lit(0.0))
-    return docs.select(
+    return bound.select(
         "doc_id",
         F.greatest(total, F.lit(0)).alias("n_ngrams"),
         F.when(total >= 1, n_distinct).otherwise(F.lit(0))
@@ -780,17 +823,20 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     Gram identity is md5 (portable to the DuckDB oracle).
     """
     def gram_hashes(rel):
+        # bind the word array first — referencing the split expression
+        # from inside the per-gram lambda would make Catalyst inline
+        # it, re-splitting the text once per gram (60x slower)
         words = F.filter(
             F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
             lambda x: x != F.lit(""))
-        idx = F.sequence(F.lit(1), F.size(words) - n + 1)
-        grams = F.transform(
-            idx, lambda i: F.md5(F.concat_ws(
-                " ", *[F.element_at(words, i + j) for j in range(n)])))
-        return rel.select(
-            "doc_id",
-            F.when(F.size(words) - n + 1 >= 1, grams)
-            .otherwise(F.array().cast("array<string>")).alias("grams"))
+        bound = rel.withColumn("_ws", words)
+        w = F.col("_ws")
+        total = F.size(w) - n + 1
+        grams = F.when(total >= 1, F.transform(
+            F.sequence(F.lit(1), total),
+            lambda i: F.md5(F.array_join(F.slice(w, i, n), " ")))) \
+            .otherwise(F.array().cast("array<string>"))
+        return bound.select("doc_id", grams.alias("grams"))
 
     eval_grams = (gram_hashes(eval_docs)
                   .select(F.explode("grams").alias("g")).distinct()
