@@ -367,6 +367,11 @@ def q_decontam_overlap(spark, sf_dir):
         docs, docs.where(F.col("doc_id") % 97 == 0), n=8)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    from frontier.spark import textops
+    return textops.unigram_logprob(_read(spark, sf_dir, "documents"))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -709,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "repetition_stats": q_repetition_stats,
         "decontam_overlap": q_decontam_overlap,
+        "unigram_logprob": q_unigram_logprob,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1456,6 +1462,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN coalesce(h.n_overlap, 0) / g.n_ngrams
                         ELSE 0.0 END AS overlap_frac
             FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id""",
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
+              FROM documents
+            ), freq AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (SELECT count(*) AS total_toks FROM toks)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
+                                       0) AS BIGINT)) AS BIGINT)
+                     AS sum_lp_micro,
+                   CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
+                                       0) AS BIGINT)) AS BIGINT)
+                     / count(*) AS mean_lp_micro
+            FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+            GROUP BY t.doc_id""",
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (

@@ -855,3 +855,38 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                         F.when(F.col("n_ngrams") >= 1,
                                F.col("n_overlap") / F.col("n_ngrams"))
                         .otherwise(F.lit(0.0))))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability — the
+    perplexity-proxy quality score (CCNet-style: documents whose
+    tokens are improbable under a corpus language model are dropped
+    or down-weighted; here the model IS the corpus unigram
+    distribution, so no token has zero mass).
+
+    Cross-engine exactness: per-token ln(count/total) is rounded to
+    integer MICRO-NATS before summing, so the per-doc sum is integer
+    arithmetic — immune to float summation order across shuffle
+    partitions (a double mean would differ between engines by
+    reduction order). The mean is one final exact int/int division.
+
+    Plan shape at scale: one explode + token-keyed count (the
+    vocabulary relation — small → broadcast back), one doc_id
+    aggregation. Corpus text shuffles only as (doc_id, token) pairs.
+    """
+    t = F.col(text_col)
+    toks = docs.select("doc_id", F.explode(F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"),
+        lambda x: x != F.lit(""))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").alias("total_toks"))
+    lp_micro = F.round(
+        F.log(F.col("cnt") / F.col("total_toks")) * 1e6, 0).cast("bigint")
+    return (toks.join(F.broadcast(freq), "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(lp_micro).alias("sum_lp_micro"))
+            .select("doc_id", "n_tokens", "sum_lp_micro",
+                    (F.col("sum_lp_micro") / F.col("n_tokens"))
+                    .alias("mean_lp_micro")))

