@@ -398,3 +398,45 @@ def test_unigram_logprob(spark):
                - (lp(3) + 2 * lp(2)) / 3) < 1e-9
     # a doc of common tokens scores higher (less negative) than rare
     assert rows[0].mean_lp_micro > rows[2].mean_lp_micro or True
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_at_scale_plan_shapes(spark):
+    """Pin the physical shapes that must hold at 100 TB:
+
+    * stratified_sample / gopher_quality / repetition_stats are pure
+      narrow maps — NO Exchange (they must pipeline with the scan);
+    * decontam_overlap joins the eval-gram relation by BROADCAST
+      (corpus grams must never shuffle for the probe side);
+    * tfidf_top_terms broadcasts the vocabulary-sized df relation;
+    * nothing builds a cartesian product.
+    """
+    docs = spark.createDataFrame(
+        [(i, "data query join table row %d" % i, "en")
+         for i in range(200)],
+        "doc_id long, text string, lang string")
+
+    for name, df in [
+        ("stratified", textops.stratified_sample(docs)),
+        ("gopher", textops.gopher_quality(docs)),
+        ("repetition", textops.repetition_stats(docs)),
+    ]:
+        plan = _plan(df)
+        assert "Exchange" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+    decon = _plan(textops.decontam_overlap(
+        docs, docs.where(F.col("doc_id") % 7 == 0)))
+    assert "BroadcastHashJoin" in decon, decon
+    assert "CartesianProduct" not in decon
+
+    tfidf = _plan(textops.tfidf_top_terms(docs))
+    assert "BroadcastHashJoin" in tfidf, tfidf
+    assert "CartesianProduct" not in tfidf
+
+    lp = _plan(textops.unigram_logprob(docs))
+    assert "BroadcastHashJoin" in lp, lp
+    assert "CartesianProduct" not in lp
