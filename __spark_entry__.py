@@ -372,6 +372,29 @@ def q_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_training_mix(spark, sf_dir):
+    """Capstone composition — the full training-set selection a real
+    pipeline runs, in one plan: Gopher quality gate ∧ exact-dedup
+    representative ∧ zero benchmark 8-gram contamination ∧ unigram
+    LM score above threshold. Every constituent operator is also
+    oracled on its own; this query proves they compose."""
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents")
+    quality = textops.gopher_quality(docs) \
+        .where(F.col("passes_gopher")).select("doc_id")
+    reps = textops.exact_dedup(docs).select("doc_id")
+    clean = textops.decontam_overlap(
+        docs, docs.where(F.col("doc_id") % 97 == 0), n=8) \
+        .where(F.col("n_overlap") == 0).select("doc_id")
+    lp = textops.unigram_logprob(docs) \
+        .where(F.col("mean_lp_micro") > -3405000)
+    return (docs.select("doc_id", "lang")
+            .join(quality, "doc_id")
+            .join(reps, "doc_id")
+            .join(clean, "doc_id")
+            .join(lp.select("doc_id", "mean_lp_micro"), "doc_id"))
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
@@ -715,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "decontam_overlap": q_decontam_overlap,
         "unigram_logprob": q_unigram_logprob,
+        "training_mix": q_training_mix,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1481,6 +1505,73 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS mean_lp_micro
             FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
             GROUP BY t.doc_id""",
+        "training_mix": """
+            WITH wg AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text),
+                       '\\s+'), x -> x <> '') AS ws,
+                     length(regexp_replace(text, '\\s+', '', 'g'))
+                       AS nwc
+              FROM documents
+            ), quality AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, len(ws) AS nw,
+                       nwc / greatest(len(ws), 1) AS ml,
+                       len(list_filter(ws,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                         / greatest(len(ws), 1) AS ar,
+                       len(list_filter(ws,
+                           x -> list_contains(['the','a','data'], x)))
+                         AS sh
+                FROM wg)
+              WHERE nw BETWEEN 20 AND 1000 AND ml BETWEEN 3.0 AND 10.0
+                AND ar >= 0.9 AND sh >= 2
+            ), reps AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM documents GROUP BY sha256(text)
+            ), wl AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+              FROM documents
+            ), dg AS (
+              SELECT doc_id, greatest(len(ws) - 7, 0) AS n_ngrams,
+                     list_transform(generate_series(1, len(ws)-7),
+                       i -> md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||
+                                ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||
+                                ws[i+6]||' '||ws[i+7])) AS grams
+              FROM wl
+            ), de AS (
+              SELECT DISTINCT unnest(grams) AS eg
+              FROM dg WHERE doc_id % 97 = 0
+            ), dx AS (
+              SELECT doc_id, unnest(grams) AS gg FROM dg
+            ), dh AS (
+              SELECT doc_id, count(*) AS ov
+              FROM dx JOIN de ON dx.gg = de.eg GROUP BY doc_id
+            ), clean AS (
+              SELECT dg.doc_id FROM dg LEFT JOIN dh
+                ON dg.doc_id = dh.doc_id
+              WHERE coalesce(dh.ov, 0) = 0
+            ), toks AS (
+              SELECT doc_id, unnest(ws) AS tok FROM wl
+            ), freq AS (
+              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (SELECT count(*) AS tt FROM toks),
+            lp AS (
+              SELECT t.doc_id,
+                     CAST(SUM(CAST(round(ln(f.cnt / tot.tt) * 1e6, 0)
+                                   AS BIGINT)) AS BIGINT) / count(*)
+                       AS mean_lp_micro
+              FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+              GROUP BY t.doc_id)
+            SELECT d.doc_id, d.lang, lp.mean_lp_micro
+            FROM documents d
+            JOIN quality ON d.doc_id = quality.doc_id
+            JOIN reps ON d.doc_id = reps.doc_id
+            JOIN clean ON d.doc_id = clean.doc_id
+            JOIN lp ON d.doc_id = lp.doc_id
+            WHERE lp.mean_lp_micro > -3405000""",
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (

@@ -683,7 +683,9 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     computed as (non-whitespace chars) / words so the DuckDB oracle
     can restate it without list aggregation.
     """
-    t = F.col(text_col)
+    # null text = empty text: signals are zeros and every gate
+    # fails, instead of NULL-poisoned booleans
+    t = F.coalesce(F.col(text_col), F.lit(""))
     docs = docs.withColumn("_gw", F.filter(
         F.split(F.trim(t), r"\s+"), lambda x: x != F.lit("")))
     words = F.col("_gw")  # bound once; four consumers below
@@ -755,7 +757,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     differently; ties break by term ascending.
     """
     terms = docs.select("doc_id", F.explode(
-        F.regexp_extract_all(F.lower(F.col(text_col)),
+        F.regexp_extract_all(F.lower(F.coalesce(F.col(text_col),
+                                                F.lit(""))),
                              F.lit("[a-z]+"), 0)).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -787,7 +790,8 @@ def repetition_stats(docs: DataFrame, n: int = 3,
     inline it, re-splitting the text once per gram (measured 30 s →
     0.5 s on 5k docs).
     """
-    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+    words = F.filter(F.split(F.lower(F.trim(
+        F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
                      lambda x: x != F.lit(""))
     bound = docs.withColumn("_ws", words)
     w = F.col("_ws")
@@ -827,7 +831,8 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
         # from inside the per-gram lambda would make Catalyst inline
         # it, re-splitting the text once per gram (60x slower)
         words = F.filter(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            F.split(F.lower(F.trim(
+                F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
             lambda x: x != F.lit(""))
         bound = rel.withColumn("_ws", words)
         w = F.col("_ws")
@@ -874,10 +879,10 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     vocabulary relation — small → broadcast back), one doc_id
     aggregation. Corpus text shuffles only as (doc_id, token) pairs.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))
     toks = docs.select("doc_id", F.explode(F.filter(
         F.split(F.lower(F.trim(t)), r"\s+"),
-        lambda x: x != F.lit(""))).alias("tok"))
+        lambda x: x != F.lit(""))).alias("tok"))  # token-less docs absent
     freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = toks.agg(F.count("*").alias("total_toks"))
     lp_micro = F.round(

@@ -440,3 +440,22 @@ def test_at_scale_plan_shapes(spark):
     lp = _plan(textops.unigram_logprob(docs))
     assert "BroadcastHashJoin" in lp, lp
     assert "CartesianProduct" not in lp
+
+
+def test_new_ops_null_text_safe(spark):
+    """NULL text must behave as empty text (zero signals, failed
+    gates) — never NULL-poisoned booleans or task errors."""
+    docs = spark.createDataFrame(
+        [(0, None, "en"), (1, "data the a table", "en")],
+        "doc_id long, text string, lang string")
+    g = {r.doc_id: r for r in textops.gopher_quality(docs).collect()}
+    assert g[0].n_words == 0 and g[0].passes_gopher is False
+    r = {r.doc_id: r for r in textops.repetition_stats(docs).collect()}
+    assert r[0].n_ngrams == 0 and r[0].dup_ngram_frac == 0.0
+    d = {r.doc_id: r for r in
+         textops.decontam_overlap(docs, docs, n=3).collect()}
+    assert d[0].n_ngrams == 0 and d[0].n_overlap == 0
+    lp = {r.doc_id for r in textops.unigram_logprob(docs).collect()}
+    assert lp == {1}  # token-less docs absent, documented
+    tf = {r.doc_id for r in textops.tfidf_top_terms(docs).collect()}
+    assert tf == {1}
