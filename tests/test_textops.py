@@ -459,3 +459,63 @@ def test_new_ops_null_text_safe(spark):
     assert lp == {1}  # token-less docs absent, documented
     tf = {r.doc_id for r in textops.tfidf_top_terms(docs).collect()}
     assert tf == {1}
+
+
+def test_quality_ops_match_python_hypothesis(spark):
+    """Property differential: gopher/repetition/unigram vs a pure
+    Python mirror on one hypothesis-generated ASCII corpus (ASCII
+    because the operators' contract is Java-regex \\s+, which is
+    ASCII-only — unlike Python str.split)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abcd.!", min_size=1, max_size=5)
+    text = st.lists(word, min_size=0, max_size=30).map(" ".join)
+    corpus: list = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(text)
+    def collect(t):
+        corpus.append(t)
+
+    collect()
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+
+    # --- gopher signals
+    got = {r.doc_id: r for r in textops.gopher_quality(docs).collect()}
+    for i, t in enumerate(corpus):
+        ws = [w for w in t.strip().split(" ") if w]
+        r = got[i]
+        assert r.n_words == len(ws), (i, t)
+        assert r.stopword_hits == sum(
+            w in textops.GOPHER_STOPWORDS for w in ws)
+        if ws:
+            assert abs(r.mean_word_len
+                       - sum(map(len, ws)) / len(ws)) < 1e-9
+
+    # --- repetition
+    got = {r.doc_id: r for r in
+           textops.repetition_stats(docs, n=2).collect()}
+    for i, t in enumerate(corpus):
+        ws = [w for w in t.strip().lower().split(" ") if w]
+        grams = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        r = got[i]
+        assert r.n_ngrams == max(len(grams), 0), (i, t)
+        assert r.n_distinct_ngrams == len(set(grams))
+
+    # --- unigram logprob (docs with tokens only)
+    from collections import Counter
+    all_toks = [w for t in corpus
+                for w in t.strip().lower().split(" ") if w]
+    freq, total = Counter(all_toks), len(all_toks)
+    got = {r.doc_id: r for r in
+           textops.unigram_logprob(docs).collect()}
+    for i, t in enumerate(corpus):
+        ws = [w for w in t.strip().lower().split(" ") if w]
+        if not ws:
+            assert i not in got
+            continue
+        want = sum(round(math.log(freq[w] / total) * 1e6) for w in ws)
+        assert got[i].sum_lp_micro == want, (i, t)
