@@ -372,6 +372,21 @@ def q_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(_read(spark, sf_dir, "documents"))
 
 
+def q_events_asof(spark, sf_dir):
+    """AS-OF join: each purchase event gets the user's latest
+    prior-or-simultaneous view event (point-in-time attribution) —
+    oracled against DuckDB's NATIVE ASOF LEFT JOIN."""
+    from frontier.spark import eventops
+    ev = _read(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    v = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts",
+                F.col("event_id").alias("view_event_id"),
+                F.col("value").alias("view_value"))
+    return eventops.asof_join(p, v, keys=["user_id"])
+
+
 def q_training_mix(spark, sf_dir):
     """Capstone composition — the full training-set selection a real
     pipeline runs, in one plan: Gopher quality gate ∧ exact-dedup
@@ -739,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": q_decontam_overlap,
         "unigram_logprob": q_unigram_logprob,
         "training_mix": q_training_mix,
+        "events_asof": q_events_asof,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1505,6 +1521,16 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS mean_lp_micro
             FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
             GROUP BY t.doc_id""",
+        "events_asof": """
+            SELECT p.user_id, p.ts, p.event_id,
+                   v.event_id AS view_event_id,
+                   v.value AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
         "training_mix": """
             WITH wg AS (
               SELECT doc_id,

@@ -51,3 +51,49 @@ def session_stats(events: DataFrame, gap_seconds: int = 60,
                  (F.max("_ts_us") - F.min("_ts_us"))
                  .alias("span_us"),
                  F.min("event_id").alias("first_event_id")))
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              keys: list[str], ts_col: str = "ts") -> DataFrame:
+    """AS-OF join: for every left row, attach the LATEST right row
+    with ``right.ts <= left.ts`` within the same ``keys`` — the
+    point-in-time lookup relational engines ship natively (DuckDB
+    ``ASOF JOIN``, the oracle for this operator) and Spark lacks.
+
+    Expressed as a composition Catalyst can execute at scale: tag
+    both sides, union, ONE shuffle on ``keys``, and a running
+    ``last(right_payload, ignorenulls)`` window — O(n log n) per key
+    group, never the naive range-join O(n_left × n_right) expansion.
+    Left rows with no prior right row keep NULL payload columns
+    (ASOF LEFT JOIN semantics).
+
+    Determinism: right rows sharing (keys, ts) resolve to the
+    maximum payload struct (documented tie-break; sides at equal ts
+    order right-before-left so "<=" is inclusive).
+    """
+    keyset = set(keys) | {ts_col}
+    lcols = [c for c in left.columns if c not in keyset]
+    rcols = [c for c in right.columns if c not in keyset]
+    r_tagged = right.select(
+        *keys, ts_col, F.struct(*rcols).alias("_r"),
+        F.lit(0).alias("_side"))
+    r_type = r_tagged.schema["_r"].dataType.simpleString()
+    l_tagged = left.select(
+        *keys, ts_col, *lcols).withColumn(
+        "_r", F.expr(f"CAST(NULL AS {r_type})")) \
+        .withColumn("_side", F.lit(1))
+    for c in lcols:
+        dt = left.schema[c].dataType.simpleString()
+        r_tagged = r_tagged.withColumn(c, F.expr(f"CAST(NULL AS {dt})"))
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = Window.partitionBy(*keys) \
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(),
+                 F.col("_r").asc_nulls_first()) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = F.last("_r", ignorenulls=True).over(w)
+    out = (unioned.withColumn("_asof", carried)
+           .where(F.col("_side") == 1)
+           .select(*keys, ts_col, *lcols,
+                   *[F.col(f"_asof.{c}").alias(c) for c in rcols]))
+    return out

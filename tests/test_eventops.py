@@ -34,3 +34,44 @@ def test_sessionize_boundary_exact_gap_stays(spark):
     got = {r.event_id: r.session_seq
            for r in eventops.sessionize(df, gap_seconds=60).collect()}
     assert got == {1: 1, 2: 1}
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime
+
+    from frontier.spark import eventops
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, T(5)), (2, 10, T(2)), (3, 10, T(1)), (4, 20, T(9))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, T(2), 1.0),   # ties left event 2 exactly (<= incl.)
+         (101, 10, T(4), 2.0),
+         (102, 30, T(0), 9.9)],  # other user: never matched
+        "view_event_id long, user_id long, ts timestamp, "
+        "view_value double")
+    out = {r.event_id: r for r in eventops.asof_join(
+        left, right, keys=["user_id"]).collect()}
+    assert out[1].view_event_id == 101      # latest of 100,101 <= t5
+    assert out[2].view_event_id == 100      # equal ts: inclusive
+    assert out[3].view_event_id is None     # nothing at or before t1
+    assert out[4].view_event_id is None     # user 20 has no views
+    assert out[1].view_value == 2.0
+    assert len(out) == 4                    # left-join row preservation
+
+
+def test_asof_join_right_ts_tie_deterministic(spark):
+    from datetime import datetime
+
+    from frontier.spark import eventops
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 10, T(5))], "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, T(3), 1.0), (105, 10, T(3), 0.5)],
+        "view_event_id long, user_id long, ts timestamp, "
+        "view_value double")
+    rows = [eventops.asof_join(left, right, keys=["user_id"])
+            .collect()[0] for _ in range(2)]
+    # documented tie-break: max payload struct (105 > 100)
+    assert rows[0].view_event_id == rows[1].view_event_id == 105
