@@ -387,6 +387,18 @@ def q_events_asof(spark, sf_dir):
     return eventops.asof_join(p, v, keys=["user_id"])
 
 
+def q_events_range_count(spark, sf_dir):
+    """Range join: per purchase, how many of the same user's views
+    fall within ±30 s — bucketized equi-join, never a nested loop."""
+    from frontier.spark import eventops
+    ev = _read(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    v = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts")
+    return eventops.range_join_count(p, v, keys=["user_id"])
+
+
 def q_training_mix(spark, sf_dir):
     """Capstone composition — the full training-set selection a real
     pipeline runs, in one plan: Gopher quality gate ∧ exact-dedup
@@ -755,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "training_mix": q_training_mix,
         "events_asof": q_events_asof,
+        "events_range_count": q_events_range_count,
         "dedup_clusters": q_dedup_clusters,
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
@@ -1521,6 +1534,18 @@ def oracle_sql() -> dict[str, str]:
                      / count(*) AS mean_lp_micro
             FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
             GROUP BY t.doc_id""",
+        "events_range_count": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id, p.ts,
+                   CAST(count(v.user_id) AS BIGINT) AS n_in_range
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 30000000
+                                    AND epoch_us(p.ts) + 30000000
+            GROUP BY p.event_id, p.user_id, p.ts""",
         "events_asof": """
             SELECT p.user_id, p.ts, p.event_id,
                    v.event_id AS view_event_id,

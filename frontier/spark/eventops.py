@@ -97,3 +97,47 @@ def asof_join(left: DataFrame, right: DataFrame,
            .select(*keys, ts_col, *lcols,
                    *[F.col(f"_asof.{c}").alias(c) for c in rcols]))
     return out
+
+
+def range_join_count(left: DataFrame, right: DataFrame,
+                     keys: list[str], ts_col: str = "ts",
+                     lower_s: int = -30, upper_s: int = 30,
+                     bucket_s: int = 60) -> DataFrame:
+    """Range join, aggregated: for every left row, count right rows
+    of the same ``keys`` whose timestamp falls in
+    ``[left.ts + lower_s, left.ts + upper_s]`` (inclusive).
+
+    Spark has no native interval join; the naive non-equi join plans
+    as a nested-loop expansion. This uses the standard
+    interval-BUCKETING decomposition instead: each left row explodes
+    to the fixed-width time buckets its window intersects
+    (≤ ``(upper-lower)/bucket + 2``), right rows map to exactly ONE
+    bucket, and the join is a plain equi-join on (keys, bucket)
+    followed by the exact BETWEEN filter — so the plan is a hash
+    join at any scale and right rows are never duplicated into more
+    than one candidate pair per left row. All timestamp arithmetic
+    in integer microseconds (exact, engine-portable). Left rows with
+    an empty window keep count 0 (left-join semantics).
+    """
+    lower_us, upper_us = lower_s * 1_000_000, upper_s * 1_000_000
+    bucket_us = bucket_s * 1_000_000
+    lus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    rus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    lcols = [c for c in left.columns]
+    lb = (left
+          .withColumn("_lus", lus)
+          .withColumn("_b", F.explode(F.sequence(
+              F.floor((F.col("_lus") + lower_us) / bucket_us),
+              F.floor((F.col("_lus") + upper_us) / bucket_us)))))
+    rb = (right
+          .select(*keys, rus.alias("_rus"))
+          .withColumn("_b", F.floor(F.col("_rus") / bucket_us)))
+    j = (lb.join(rb, [*keys, "_b"])
+         .where(F.col("_rus").between(F.col("_lus") + lower_us,
+                                      F.col("_lus") + upper_us)))
+    counts = j.groupBy(*[F.col(c) for c in lcols]) \
+        .agg(F.count("*").alias("n_in_range"))
+    return (left.join(counts, lcols, "left")
+            .withColumn("n_in_range",
+                        F.coalesce(F.col("n_in_range"), F.lit(0))))

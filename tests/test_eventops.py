@@ -75,3 +75,57 @@ def test_asof_join_right_ts_tie_deterministic(spark):
             .collect()[0] for _ in range(2)]
     # documented tie-break: max payload struct (105 > 100)
     assert rows[0].view_event_id == rows[1].view_event_id == 105
+
+
+def test_range_join_count(spark):
+    from datetime import datetime
+
+    from frontier.spark import eventops
+    T = lambda s: datetime(2024, 1, 1, 0, 1, s)
+    left = spark.createDataFrame(
+        [(1, 10, T(30)), (2, 10, T(0)), (3, 20, T(30))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, T(0)), (10, T(59)), (10, T(29)),   # user 10 views
+         (20, T(5))],                            # outside ±30 of T(30)? no: 5 vs 30 -> in range (25s)
+        "user_id long, ts timestamp")
+    out = {r.event_id: r.n_in_range for r in eventops.range_join_count(
+        left, right, keys=["user_id"], lower_s=-30, upper_s=30,
+        bucket_s=7).collect()}  # odd bucket width: exercises spans
+    # event 1 (user10 @T30): views at T0 (30s, incl), T59 (29s), T29 -> 3
+    assert out[1] == 3
+    # event 2 (user10 @T0): views at T0, T29 in [-30,+30]; T59 is 59s -> 2
+    assert out[2] == 2
+    # event 3 (user20 @T30): view at T5 -> 25s away -> 1
+    assert out[3] == 1
+
+
+def test_range_join_count_zero_rows_kept(spark):
+    from datetime import datetime
+
+    from frontier.spark import eventops
+    left = spark.createDataFrame(
+        [(1, 99, datetime(2024, 1, 1))],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [], "user_id long, ts timestamp")
+    rows = eventops.range_join_count(left, right, ["user_id"]).collect()
+    assert rows[0].n_in_range == 0
+
+
+def test_range_join_plans_as_hash_join(spark):
+    """The bucketized decomposition must plan as an equi hash join —
+    never BroadcastNestedLoopJoin (the naive interval-join plan)."""
+    from datetime import datetime
+
+    from frontier.spark import eventops
+    left = spark.createDataFrame(
+        [(i, i % 5, datetime(2024, 1, 1)) for i in range(100)],
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(i % 5, datetime(2024, 1, 1)) for i in range(100)],
+        "user_id long, ts timestamp")
+    plan = eventops.range_join_count(left, right, ["user_id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
