@@ -160,7 +160,9 @@ def main():
                      "token_stats", "simhash",
                      # new in round 3 (no earlier-round comparison)
                      "gopher_quality", "tfidf_top_terms",
-                     "decontam_overlap"):
+                     "decontam_overlap", "unigram_logprob",
+                     "training_mix", "events_asof",
+                     "events_range_count"):
             timed(name, lambda n=name: run_query(n))
 
     total = round(sum(timings.values()), 3)
