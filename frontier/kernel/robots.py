@@ -11,7 +11,12 @@ subset over-blocked hosts that rely on ``Allow`` under a broad
 ``Disallow``):
 
 * grouped ``User-agent`` stanzas; the most specific matching agent
-  group wins (longest product-token prefix > ``*``);
+  token wins (longest product-token prefix > ``*``), and the rules of
+  ALL groups matching at that specificity are merged (§2.2.1 —
+  multiple ``User-agent: *`` stanzas combine);
+* rules match against the URL's path **plus query** (§2.2.2 — so
+  ``Disallow: /*?*`` blocks querystring URLs) in both the Spark gate
+  (schedule.apply_robots) and the simulator;
 * BOTH ``Allow`` and ``Disallow`` rules (§2.2.2), empty value = no
   rule;
 * ``*`` wildcards (match any char sequence) and ``$`` end-of-path
@@ -117,26 +122,38 @@ def rules_for_agent(text: bytes | str, agent: str = "frontier"
                     ) -> tuple[list[tuple[str, bool]], int]:
     """([(pattern, allow)], crawl_delay_ms) for ``agent``.
 
-    Group choice (RFC 9309 §2.2.1): longest agent token that is a
-    prefix of (or equal to) ours wins; ``*`` is the fallback; no
-    match → everything allowed (empty rule list).
+    Group choice (RFC 9309 §2.2.1): the longest agent token that is a
+    prefix of (or equal to) ours picks the winning specificity; ``*``
+    is the fallback; no match → everything allowed (empty rule list).
+    Rules of ALL groups matching at the winning specificity are
+    MERGED, in file order — §2.2.1 "combine the rules" covers the
+    common real-world case of two separate ``User-agent: *`` stanzas
+    (previously the later stanza was silently dropped). Crawl-delay
+    (non-standard) takes the max across the merged groups.
     """
     agent = agent.lower()
-    best: dict | None = None
-    best_len = -1
-    for group in parse_robots_txt(text):
+
+    def _score(group: dict) -> int:
+        best = -1
         for token in group["agents"]:
             if token == "*":
-                score = 0
+                best = max(best, 0)
             elif agent.startswith(token):
-                score = len(token)
-            else:
-                continue
-            if score > best_len:
-                best, best_len = group, score
-    if best is None:
+                best = max(best, len(token))
+        return best
+
+    groups = parse_robots_txt(text)
+    scores = [_score(g) for g in groups]
+    best_len = max(scores, default=-1)
+    if best_len < 0:
         return [], 0
-    return list(best["rules"]), int(best["delay_ms"] or 0)
+    rules: list[tuple[str, bool]] = []
+    delay = 0
+    for group, score in zip(groups, scores):
+        if score == best_len:
+            rules.extend(group["rules"])
+            delay = max(delay, int(group["delay_ms"] or 0))
+    return rules, delay
 
 
 def is_allowed(rules: list[tuple[str, bool]], path: str) -> bool:

@@ -47,7 +47,11 @@ class SimResult:
 
 
 def _path_of(canon: str) -> str:
-    return urlsplit(canon).path or "/"
+    # path PLUS query (RFC 9309 §2.2.2) — mirrors the Spark gate's
+    # extraction in schedule.apply_robots
+    sp = urlsplit(canon)
+    path = sp.path or "/"
+    return path + ("?" + sp.query if sp.query else "")
 
 
 def simulate(pages: dict, seeds: list, robots: dict,

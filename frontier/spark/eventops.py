@@ -74,6 +74,18 @@ def asof_join(left: DataFrame, right: DataFrame,
     keyset = set(keys) | {ts_col}
     lcols = [c for c in left.columns if c not in keyset]
     rcols = [c for c in right.columns if c not in keyset]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(
+            f"asof_join: payload columns {sorted(overlap)} exist on "
+            "both sides — rename one side first (output would be "
+            "ambiguous)")
+    reserved = {"_r", "_side", "_asof"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join: column names {sorted(clash)} collide with "
+            "internal tags — rename them first")
     r_tagged = right.select(
         *keys, ts_col, F.struct(*rcols).alias("_r"),
         F.lit(0).alias("_side"))
@@ -124,9 +136,18 @@ def range_join_count(left: DataFrame, right: DataFrame,
     lus = F.unix_micros(F.col(ts_col).cast("timestamp"))
     rus = F.unix_micros(F.col(ts_col).cast("timestamp"))
 
-    lcols = [c for c in left.columns]
-    lb = (left
-          .withColumn("_lus", lus)
+    if "_lid" in left.columns:
+        raise ValueError("range_join_count: left must not already "
+                         "have a _lid column")
+    # Row identity via monotonically_increasing_id, NOT the full left
+    # column set: duplicate left rows each keep their own exact count
+    # (a full-column groupBy multiplied counts by the duplicate
+    # factor) and NULL-bearing rows still join back. Also slimmer at
+    # scale — only (keys, _lid, _lus) ride the explode+shuffle, never
+    # the left payload.
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    lb = (lid
+          .select(*keys, "_lid", lus.alias("_lus"))
           .withColumn("_b", F.explode(F.sequence(
               F.floor((F.col("_lus") + lower_us) / bucket_us),
               F.floor((F.col("_lus") + upper_us) / bucket_us)))))
@@ -136,8 +157,8 @@ def range_join_count(left: DataFrame, right: DataFrame,
     j = (lb.join(rb, [*keys, "_b"])
          .where(F.col("_rus").between(F.col("_lus") + lower_us,
                                       F.col("_lus") + upper_us)))
-    counts = j.groupBy(*[F.col(c) for c in lcols]) \
-        .agg(F.count("*").alias("n_in_range"))
-    return (left.join(counts, lcols, "left")
+    counts = j.groupBy("_lid").agg(F.count("*").alias("n_in_range"))
+    return (lid.join(counts, "_lid", "left")
             .withColumn("n_in_range",
-                        F.coalesce(F.col("n_in_range"), F.lit(0))))
+                        F.coalesce(F.col("n_in_range"), F.lit(0)))
+            .drop("_lid"))

@@ -271,9 +271,18 @@ def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     gated = (frontier
              .join(F.broadcast(robots), "host", "left")
              .withColumn("path",
-                         F.regexp_extract("url_canon",
-                                          r"^[a-z][a-z0-9+.-]*://[^/]+(/[^?#]*)?",
-                                          1))
+                         # path PLUS query (RFC 9309 §2.2.2 — rules
+                         # like /*?* must see the querystring); canon
+                         # URLs carry no fragment, scheme may be
+                         # absent (scheme-relative //h/p is canonical)
+                         F.coalesce(
+                             F.nullif(
+                                 F.regexp_extract(
+                                     "url_canon",
+                                     r"^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*([^#]*)",
+                                     1),
+                                 F.lit("")),
+                             F.lit("/")))
              .withColumn(
                  "robots_allowed",
                  robots_allowed_expr(F.col("path"), F.col("rules"))))

@@ -749,9 +749,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     """Top-k TF-IDF terms per document (idf = ln((N+1)/(df+1))).
 
     Plan shape at scale: one shuffle for per-doc term counts (keyed
-    on (doc_id, term) — uniform), one small aggregation to the
-    document-frequency relation (vocabulary-sized → broadcast back),
-    and a per-doc window bounded by the doc's distinct-term count.
+    on (doc_id, term) — uniform), a term-keyed aggregation to the
+    document-frequency relation, a shuffled equi-join back on the
+    uniform ``term`` key (NEVER broadcast: Heaps' law puts a 100 TB
+    web corpus's vocabulary at 10⁸–10⁹ terms — tens of GB, an
+    executor OOM as a broadcast; as a shuffle join both sides hash
+    on the same uniform key, r3 VERDICT item 2), and a per-doc
+    window bounded by the doc's distinct-term count.
     Scores are rounded to 9 dp BEFORE ranking so the Java and C
     libm ``ln`` (≤1 ulp apart) can never rank cross-engine
     differently; ties break by term ascending.
@@ -763,7 +767,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    scored = (tf.join(F.broadcast(dfreq), "term")
+    scored = (tf.join(dfreq, "term")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("tfidf", F.round(
                   F.col("tf") * F.log((F.col("n_docs") + F.lit(1).cast("double"))
@@ -876,8 +880,11 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reduction order). The mean is one final exact int/int division.
 
     Plan shape at scale: one explode + token-keyed count (the
-    vocabulary relation — small → broadcast back), one doc_id
-    aggregation. Corpus text shuffles only as (doc_id, token) pairs.
+    vocabulary relation), a shuffled equi-join back on the uniform
+    ``tok`` key (NEVER broadcast — the corpus vocabulary is unbounded
+    at 100 TB; only the single-row ``total`` is broadcast), one
+    doc_id aggregation. Corpus text shuffles only as (doc_id, token)
+    pairs.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
     toks = docs.select("doc_id", F.explode(F.filter(
@@ -887,7 +894,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     total = toks.agg(F.count("*").alias("total_toks"))
     lp_micro = F.round(
         F.log(F.col("cnt") / F.col("total_toks")) * 1e6, 0).cast("bigint")
-    return (toks.join(F.broadcast(freq), "tok")
+    return (toks.join(freq, "tok")
             .crossJoin(F.broadcast(total))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),
@@ -895,3 +902,72 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             .select("doc_id", "n_tokens", "sum_lp_micro",
                     (F.col("sum_lp_micro") / F.col("n_tokens"))
                     .alias("mean_lp_micro")))
+
+
+def paragraph_dedup(docs: DataFrame, min_count: int = 2,
+                    text_col: str = "text") -> DataFrame:
+    """Paragraph-level deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    the pass real pipelines run BETWEEN exact-dedup and minhash):
+    split each document on blank lines, normalize each paragraph
+    (lower + trim), hash it, count occurrences ACROSS the corpus,
+    and flag paragraphs appearing ``min_count``+ times as duplicates
+    (boilerplate / navigation / license blocks).
+
+    Output: one row per non-empty paragraph —
+    ``(doc_id, para_index, para_md5, n_occurrences, is_dup)``.
+    Callers drop ``is_dup`` rows and re-join the survivors.
+
+    Plan shape at scale: posexplode (narrow), ONE groupBy on the
+    uniform ``para_md5`` key for corpus counts, one shuffled
+    equi-join back on the same key — never all-pairs, never a
+    broadcast of the unbounded paragraph-hash relation (same
+    discipline as the vocabulary joins above).
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    paras = (docs
+             .select("doc_id",
+                     F.posexplode(F.split(t, r"\n\s*\n"))
+                     .alias("para_index", "para"))
+             .withColumn("para", F.lower(F.trim(F.col("para"))))
+             .where(F.col("para") != "")
+             .withColumn("para_md5", F.md5(F.col("para")))
+             .drop("para"))
+    counts = paras.groupBy("para_md5") \
+        .agg(F.count("*").alias("n_occurrences"))
+    return (paras.join(counts, "para_md5")
+            .select("doc_id", "para_index", "para_md5", "n_occurrences",
+                    (F.col("n_occurrences") >= min_count).alias("is_dup")))
+
+
+def html_clean(docs: DataFrame, html_col: str = "html",
+               out_col: str = "clean_text") -> DataFrame:
+    """HTML tag-strip / boilerplate removal producing the ``text``
+    column a training pipeline feeds to the quality ops (gopher /
+    unigram / decontam run on prose, not markup).
+
+    Pure ``regexp_replace`` chain — narrow map, zero shuffle,
+    pipelines with the scan; every pattern is valid and identical
+    under BOTH java.util.regex (Spark) and RE2 (the DuckDB oracle),
+    so the cleaned strings are byte-identical cross-engine:
+
+    1. ``<script>``/``<style>`` blocks dropped wholesale ((?is)
+       case-insensitive dot-all, non-greedy body);
+    2. HTML comments dropped;
+    3. remaining tags → a single space (so ``a</p><p>b`` keeps a
+       word boundary);
+    4. the five ubiquitous entities decoded (&nbsp; &lt; &gt;
+       &quot; &#39;), ``&amp;`` LAST so ``&amp;lt;`` decodes to the
+       literal ``&lt;`` and not ``<``;
+    5. whitespace collapsed + trimmed.
+    """
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.withColumn(out_col, c)

@@ -121,10 +121,16 @@ def canon_expr(url: Column) -> Column:
     host_ok = (host_raw != "") & _is_ascii(host_raw)
     host = F.lower(host_raw)
 
-    # {1,9} digits so the int cast can never overflow under ANSI mode;
-    # longer all-digit ports exceed 65535 anyway → invalid.
-    port_numeric = port_s.rlike(r"^[0-9]{1,9}$")
-    port_i = F.when(port_numeric, port_s.cast("int"))
+    # Kernel semantics (urlnorm.py): ANY all-digit port string is
+    # numeric, leading zeros dropped, value must be ≤ 65535. Strip
+    # leading zeros FIRST so '0000000080' (10+ digits) stays valid —
+    # after the strip a valid port has ≤5 digits, so the int cast can
+    # never overflow under ANSI mode. All-zeros strips to '' = port 0.
+    port_z = F.regexp_replace(port_s, r"^0+", "")
+    port_numeric = port_s.rlike(r"^[0-9]+$") & (F.length(port_z) <= 5)
+    port_i = F.when(
+        port_numeric,
+        F.when(port_z == "", F.lit(0)).otherwise(port_z.cast("int")))
     port_ok = F.when(port_s == "", F.lit(True)) \
         .otherwise(port_numeric & (port_i <= 65535))
 
@@ -258,8 +264,13 @@ def with_canon(df, url_col: str = "url",
     host_ok = let("hostok",
                   (host_raw != "") & _is_ascii(host_raw))
     host = let("host", F.lower(host_raw))
-    port_numeric = let("portnum", port_s.rlike(r"^[0-9]{1,9}$"))
-    port_i = let("porti", F.when(port_numeric, port_s.cast("int")))
+    # leading-zero strip first (kernel parity — see canon_expr)
+    port_z = let("portz", F.regexp_replace(port_s, r"^0+", ""))
+    port_numeric = let("portnum",
+                       port_s.rlike(r"^[0-9]+$") & (F.length(port_z) <= 5))
+    port_i = let("porti", F.when(
+        port_numeric,
+        F.when(port_z == "", F.lit(0)).otherwise(port_z.cast("int"))))
     port_ok = let("portok", F.when(port_s == "", F.lit(True))
                   .otherwise(port_numeric & (port_i <= 65535)))
 

@@ -129,3 +129,51 @@ def test_range_join_plans_as_hash_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_range_join_count_duplicate_left_rows(spark):
+    # ADVICE r3: duplicate left rows must each get the TRUE count,
+    # not count × duplicate-factor
+    from frontier.spark import eventops
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10"), ("u", "2024-01-01 00:00:10")],
+        "user_id string, ts string")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:15"), ("u", "2024-01-01 00:00:20")],
+        "user_id string, ts string")
+    out = eventops.range_join_count(left, right, ["user_id"],
+                                    lower_s=-30, upper_s=30).collect()
+    assert len(out) == 2
+    assert [r["n_in_range"] for r in out] == [2, 2]
+
+
+def test_range_join_count_null_left_column(spark):
+    # a NULL in a non-key left column must not zero the count
+    from frontier.spark import eventops
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10", None)],
+        "user_id string, ts string, tag string")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:15")], "user_id string, ts string")
+    out = eventops.range_join_count(left, right, ["user_id"],
+                                    lower_s=-30, upper_s=30).collect()
+    assert out[0]["n_in_range"] == 1
+
+
+def test_asof_join_raises_on_payload_collision(spark):
+    import pytest
+    from frontier.spark import eventops
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01", 1)], "user_id string, ts string, v int")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01", 2)], "user_id string, ts string, v int")
+    with pytest.raises(ValueError, match="payload columns"):
+        eventops.asof_join(left, right, ["user_id"])
+
+    l2 = left.withColumnRenamed("v", "_side")
+    r2 = right.withColumnRenamed("v", "rv")
+    with pytest.raises(ValueError, match="internal tags"):
+        eventops.asof_join(l2, r2, ["user_id"])

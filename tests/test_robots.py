@@ -223,3 +223,62 @@ def test_robots_parser_fuzz_never_raises():
             re.search(robots.compile_pattern(pat), "/some/path")
 
     run()
+
+
+def test_multiple_star_groups_merge():
+    # RFC 9309 §2.2.1: two 'User-agent: *' stanzas combine — the
+    # second stanza's rules must NOT be dropped (ADVICE r3).
+    txt = (b"User-agent: *\nDisallow: /a\nCrawl-delay: 1\n\n"
+           b"User-agent: *\nDisallow: /b\nAllow: /b/pub\nCrawl-delay: 3\n")
+    rules, delay = robots.rules_for_agent(txt, "anybot")
+    assert rules == [("/a", False), ("/b", False), ("/b/pub", True)]
+    assert delay == 3000  # max across merged groups
+    assert not robots.is_allowed(rules, "/a/x")
+    assert not robots.is_allowed(rules, "/b/x")
+    assert robots.is_allowed(rules, "/b/pub/x")
+
+
+def test_named_groups_merge_star_excluded():
+    # two groups naming the same agent merge; '*' group does NOT
+    # leak into a named match
+    txt = (b"User-agent: bot\nDisallow: /a\n\n"
+           b"User-agent: *\nDisallow: /star\n\n"
+           b"User-agent: bot\nDisallow: /b\n")
+    rules, _ = robots.rules_for_agent(txt, "bot")
+    assert rules == [("/a", False), ("/b", False)]
+
+
+def test_query_string_rules_match():
+    # §2.2.2 matches path+query: 'Disallow: /*?*' blocks querystring
+    # URLs. The matcher itself is path-string based — both callers
+    # (Spark gate, simulator) now pass path+query.
+    rules = [("/*?*", False)]
+    assert robots.is_allowed(rules, "/page")
+    assert not robots.is_allowed(rules, "/page?x=1")
+    rules2 = [("/search?q=", False)]
+    assert not robots.is_allowed(rules2, "/search?q=foo")
+    assert robots.is_allowed(rules2, "/search")
+
+
+def test_spark_gate_sees_query(spark):
+    # apply_robots must evaluate rules against path PLUS query
+    from frontier.spark import schedule
+
+    rules = [("/*?*", False), ("/q", True)]
+    robots_df = spark.createDataFrame(
+        [("h.co",
+          [(p, robots.compile_pattern(p), len(p), a) for p, a in rules],
+          0)],
+        "host string, rules array<struct<pat:string,re:string,"
+        "spec:int,allow:boolean>>, crawl_delay_ms int")
+    frontier = spark.createDataFrame(
+        [("http://h.co/q?x=1", "h.co"),
+         ("http://h.co/q", "h.co"),
+         ("http://h.co/", "h.co")],
+        "url_canon string, host string")
+    got = {r["url_canon"]: r["robots_allowed"]
+           for r in schedule.apply_robots(frontier, robots_df).collect()}
+    # /q?x=1: '/*?*' (4 chars, block) vs '/q' (2 chars, allow) → block
+    assert got["http://h.co/q?x=1"] is False
+    assert got["http://h.co/q"] is True
+    assert got["http://h.co/"] is True

@@ -22,6 +22,8 @@ ADVERSARIAL = [
     "http://h.co/a/./b/../c", "http://host:notaport/",
     "http://h:99999/", "http://h:-1/x", "http://h:0080/x",
     "http://h:65535/x", "http://h:65536/x", "http://h:123456789012/x",
+    "http://h:0000000080/x", "http://h:0000000000000/x",
+    "http://h:00000099999/x", "http://h:0/x",
     "//scheme.less/p", "ftp://h:21/f", "http://user:pass@h/p",
     "http://user@h:81/p", "http://a@b@h/p", "http://[::1]/p",
     "http://[::1]:8080/p", "http://[::1]:80/p", "HTTPS://[2001:DB8::1]/",
@@ -56,7 +58,7 @@ def urls(draw):
          "user:pw@Host.co"]))
     port = draw(st.sampled_from(
         ["", ":80", ":443", ":8080", ":0080", ":99999", ":x", ":",
-         ":12345678901234567890"]))
+         ":12345678901234567890", ":0000000080", ":0000000000000"]))
     path = draw(st.lists(_part, max_size=4).map(
         lambda segs: "".join("/" + s for s in segs)))
     query = draw(st.one_of(st.just(""),
