@@ -1256,7 +1256,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "media_features": """
             WITH parts AS (
-              SELECT d.doc_id,
+              SELECT d.doc_id, i.n,
                      CAST(1 + i.n + CASE WHEN d.doc_id % 19 = 0
                           THEN 1 ELSE 0 END AS INTEGER) AS part_index,
                      CASE WHEN i.n = 2 THEN 'video'
@@ -1268,7 +1268,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, part_index, media_kind,
                    CAST(4 + 4 * (CAST(concat('0x', substr(h, 1, 2))
                         AS INTEGER) % 4) AS INTEGER) AS width,
-                   CAST(4 AS INTEGER) AS height,
+                   CAST(CASE WHEN n = 1
+                        THEN 2 + CAST(concat('0x', substr(h, 7, 2))
+                             AS INTEGER) % 4
+                        ELSE 4 END AS INTEGER) AS height,
                    CAST(CASE WHEN media_kind = 'video'
                         THEN 1 + CAST(concat('0x', substr(h, 5, 2))
                              AS INTEGER) % 4

@@ -232,3 +232,85 @@ def frames_decode(blob: bytes) -> list[bytes]:
         frames.append(frame)
         pos += 4 + length
     return frames
+
+
+# ---------------------------------------------------------------------------
+# JPEG — marker-walk dimension sniffing (no DCT decode)
+# ---------------------------------------------------------------------------
+
+JPEG_SIG = b"\xff\xd8"  # SOI
+
+# SOF0..SOF15 carry frame dimensions; C4/C8/CC are DHT/JPG/DAC, not SOFs
+_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_encode(width: int, height: int, comment: bytes = b"",
+                progressive: bool = False) -> bytes:
+    """Minimal JPEG header skeleton: SOI + APP0/JFIF + optional COM +
+    SOF0 (baseline) or SOF2 (progressive) + EOI. Carries real,
+    sniffable dimensions and a COM payload; deliberately NOT a full
+    entropy-coded image — the engine's media path needs dimensions
+    and marker-segment bytes, not pixels (full DCT decode is out of
+    scope; swapping in PIL stays a one-function kernel change)."""
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions out of u16 range")
+    if len(comment) > 0xFFFD:
+        raise ValueError("comment too long")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out = bytearray(JPEG_SIG)
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    if comment:
+        out += b"\xff\xfe" + struct.pack(">H", len(comment) + 2) + comment
+    sof_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0")
+    out += struct.pack(">H", len(sof_body) + 2) + sof_body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_sniff(blob: bytes) -> tuple[int, int, bool, bytes]:
+    """JPEG bytes → (width, height, progressive, COM payload) by
+    walking marker segments to the first SOFn — dimensions without a
+    DCT decoder (~the `identify` fast path). Handles fill bytes
+    (0xFF padding before a marker), standalone markers (TEM/RSTn),
+    and stops at SOS/EOI. Raises ValueError on anything malformed —
+    Spark callers catch and degrade (SURVEY.md §2.8)."""
+    if blob[:2] != JPEG_SIG:
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    com = b""
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("marker desync")
+        marker = blob[pos + 1]
+        while marker == 0xFF:  # fill bytes
+            pos += 1
+            if pos + 2 > len(blob):
+                raise ValueError("truncated at fill bytes")
+            marker = blob[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 4 > len(blob):
+            raise ValueError("truncated segment header")
+        (seglen,) = struct.unpack_from(">H", blob, pos + 2)
+        if seglen < 2:
+            raise ValueError("bad segment length")
+        data = blob[pos + 4:pos + 2 + seglen]
+        if len(data) != seglen - 2:
+            raise ValueError("truncated segment")
+        if marker in _SOF_MARKERS:
+            if len(data) < 6:
+                raise ValueError("short SOF")
+            _prec, height, width, _ncomp = struct.unpack_from(">BHHB", data)
+            if width == 0 or height == 0:
+                raise ValueError("zero dimension")
+            return width, height, marker == 0xC2, com
+        if marker == 0xFE:  # COM
+            com = data
+        if marker == 0xDA:  # SOS: entropy stream, SOF must precede it
+            break
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found")

@@ -63,6 +63,11 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
       normalized (x−128)/128 — computed from the UNFILTERED pixels,
       so a wrong Sub/Up/Average/Paeth implementation flips the
       DuckDB feature oracle;
+    * JPEG (the dominant real-web image type, r3 VERDICT item 4) →
+      dimensions sniffed from the first SOFn marker segment (baseline
+      AND progressive — no DCT decode needed for width/height);
+      feature = 8-phase means over the COM marker payload bytes,
+      same (x−128)/128 normalization (empty COM → empty feature);
     * FRMS (multi-frame container, the video path) → n_frames from
       the container, dimensions/feature from frame 0;
     * WAV → width = total samples, height = channels, feature =
@@ -79,6 +84,10 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
             w, h, _ct, pixels = codec.png_decode(blob)
             return w, h, 1, [(m - 128) / 128.0
                              for m in _phase_means(pixels)]
+        if blob.startswith(codec.JPEG_SIG):
+            w, h, _prog, com = codec.jpeg_sniff(blob)
+            return w, h, 1, ([(m - 128) / 128.0
+                              for m in _phase_means(com)] if com else [])
         if blob.startswith(codec.FRMS_SIG):
             frames = codec.frames_decode(blob)
             w, h, _ct, pixels = codec.png_decode(frames[0])

@@ -90,27 +90,37 @@ def _encode_payload(payload: bytes, encoding: str) -> bytes:
     return payload
 
 
-def _media_blob(target: int, video: bool) -> tuple[bytes, str]:
+def _media_blob(target: int, kind: str) -> tuple[bytes, str]:
     """REAL media bytes for subresource parts (round-3: the fake
     byte-arithmetic codec is gone). From the 16 md5 bytes
     ``h = md5('blob:target')``:
 
-    * image: a real PNG — width ``4 + 4*(h[0]%4)``, height 4, RGB
+    * png: a real PNG — width ``4 + 4*(h[0]%4)``, height 4, RGB
       pixels = the md5 digest tiled over ``w*4*3`` bytes (always a
       multiple of 16, so the decoder's 8-phase feature means reduce
       to ``(h[k]+h[k+8])/2`` — exactly restatable in the DuckDB
       oracle). Rows cycle filters Sub/Up/Average/Paeth, so decoding
       exercises every unfilter path.
-    * video: an FRMS container of ``1 + h[2]%4`` copies of that PNG.
+    * jpeg (round-4: the dominant real-web image type): SOI + JFIF +
+      COM + SOF header skeleton — width same rule as png, height
+      ``2 + h[3]%4``, progressive (SOF2) iff ``h[1]%2 == 1`` so the
+      sniffer walks both marker layouts; the COM payload is the md5
+      digest itself, so the 8-phase feature means reduce to the SAME
+      ``(h[k]+h[k+8])/2`` rule as png.
+    * video: an FRMS container of ``1 + h[2]%4`` copies of the PNG.
     """
     from frontier.kernel import imagecodec
 
     h = hashlib.md5(f"blob:{target}".encode()).digest()
     w = 4 + 4 * (h[0] % 4)
+    if kind == "jpeg":
+        return (imagecodec.jpeg_encode(w, 2 + h[3] % 4, comment=h,
+                                       progressive=h[1] % 2 == 1),
+                "image/jpeg")
     n = w * 4 * 3
     png = imagecodec.png_encode(w, 4, (h * (n // 16)),
                                 filters=[1, 2, 3, 4])
-    if video:
+    if kind == "video":
         return (imagecodec.frames_encode([png] * (1 + h[2] % 4)),
                 "video/x-frms")
     return png, "image/png"
@@ -153,11 +163,13 @@ def build_page(doc_id: int, text: str, lang: str, n_docs: int,
     for i, target in enumerate(links_for(doc_id, n_docs)):
         # md5, not blake2b: the media-features oracle restates the
         # PNG's pixel rule in SQL, and DuckDB only has md5.
-        # The third subresource (i == 2, docs with doc_id%4 == 3) is
-        # a VIDEO part (FRMS multi-frame container of real PNGs) so
-        # the frame-sampling path has real rows — rule is pure doc_id
-        # arithmetic for the oracle.
-        blob, ctype = _media_blob(target, video=(i == 2))
+        # Subresource kind is pure doc_id arithmetic for the oracle:
+        # i == 0 → PNG; i == 1 (docs with doc_id%4 >= 2) → JPEG
+        # header skeleton (round-4); i == 2 (doc_id%4 == 3) → VIDEO
+        # (FRMS multi-frame container of real PNGs) so the
+        # frame-sampling path has real rows.
+        kind = {0: "png", 1: "jpeg", 2: "video"}[i]
+        blob, ctype = _media_blob(target, kind)
         subparts.append(_part(url_for(target), ctype, "base64", blob))
 
     # displacement must be a pure function of doc_id so the DuckDB

@@ -105,7 +105,7 @@ def test_decode_media_dispatch():
 def test_synth_blob_feature_rule():
     """The oracle's restatement: decoded phase means over the tiled
     md5 pixels reduce to (h[k]+h[k+8])/2."""
-    blob, ctype = synth._media_blob(42, video=False)
+    blob, ctype = synth._media_blob(42, "png")
     assert ctype == "image/png"
     h = hashlib.md5(b"blob:42").digest()
     w, ht, n, feat = media.decode_media(blob)
@@ -113,9 +113,50 @@ def test_synth_blob_feature_rule():
     for k in range(8):
         want = ((h[k] + h[k + 8]) / 2 - 128) / 128
         assert abs(feat[k] - want) < 1e-9, k
-    vid, vtype = synth._media_blob(42, video=True)
+    vid, vtype = synth._media_blob(42, "video")
     assert vtype == "video/x-frms"
     assert media.decode_media(vid)[2] == 1 + h[2] % 4
+
+
+def test_jpeg_sniff_roundtrip_and_markers():
+    b = imagecodec.jpeg_encode(640, 480, b"hi", progressive=True)
+    assert imagecodec.jpeg_sniff(b) == (640, 480, True, b"hi")
+    b2 = imagecodec.jpeg_encode(12, 7)
+    assert imagecodec.jpeg_sniff(b2) == (12, 7, False, b"")
+    # fill bytes before a marker are legal
+    padded = b2[:2] + b"\xff" + b2[2:]
+    assert imagecodec.jpeg_sniff(padded)[:2] == (12, 7)
+    import pytest
+    for bad in [b"", b"\xff\xd8", b"\xff\xd8\xff\xd9",
+                b"\x89PNG", b"\xff\xd8\x00\x00"]:
+        with pytest.raises(ValueError):
+            imagecodec.jpeg_sniff(bad)
+
+
+def test_decode_media_jpeg_dispatch():
+    com = bytes(range(16))
+    b = imagecodec.jpeg_encode(33, 9, com)
+    w, h, n, feat = media.decode_media(b)
+    assert (w, h, n) == (33, 9, 1)
+    for k in range(8):
+        want = ((com[k] + com[k + 8]) / 2 - 128) / 128
+        assert abs(feat[k] - want) < 1e-9, k
+    # no COM → sniffable dims, empty feature
+    assert media.decode_media(imagecodec.jpeg_encode(5, 5)) \
+        == (5, 5, 1, [])
+    # truncated after SOI degrades to nulls via decode_media
+    assert media.decode_media(b[:3]) == (None, None, None, [])
+
+
+def test_synth_jpeg_blob_rule():
+    blob, ctype = synth._media_blob(42, "jpeg")
+    assert ctype == "image/jpeg"
+    h = hashlib.md5(b"blob:42").digest()
+    w, ht, n, feat = media.decode_media(blob)
+    assert (w, ht, n) == (4 + 4 * (h[0] % 4), 2 + h[3] % 4, 1)
+    for k in range(8):
+        want = ((h[k] + h[k + 8]) / 2 - 128) / 128
+        assert abs(feat[k] - want) < 1e-9, k
 
 
 # ---------------------------------------------------------------------------
