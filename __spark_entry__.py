@@ -154,16 +154,29 @@ def q_politeness_delay(spark, sf_dir):
 
 
 def q_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-shape pricing aggregate, PLUS the correlated-window
+    filter (parts priced above their brand's average) folded in as a
+    broadcast scalar — one query evidencing both the groupBy-agg and
+    the window-filter shapes (r3 VERDICT item 1: ≤50-entry budget)."""
     li = _read(spark, sf_dir, "lineitem")
     cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
     disc100 = F.round(F.col("l_discount") * 100).cast("long")
-    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+    base = (li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.sum(cents("l_quantity")).alias("sum_qty_c"),
                  F.sum(cents("l_extendedprice")).alias("sum_base_c"),
                  F.sum(cents("l_extendedprice") * (100 - disc100))
                  .alias("sum_disc_c4"),
                  F.count("*").alias("count_order")))
+    part = _read(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    above = (part
+             .withColumn("_avg", F.avg("p_retailprice").over(w))
+             .where(F.col("p_retailprice") > F.col("_avg"))
+             .agg(F.count("*").alias("n_parts_above_avg"),
+                  F.sum(F.floor(F.col("p_retailprice") * 100)
+                        .cast("bigint")).alias("sum_above_c")))
+    return base.crossJoin(F.broadcast(above))
 
 
 def q_top_revenue(spark, sf_dir):
@@ -207,27 +220,41 @@ def q_event_type_except(spark, sf_dir):
         .select(F.col("event_type").alias("only_warm_type"))
 
 
-def q_exact_dedup(spark, sf_dir):
+def q_doc_hashes(spark, sf_dir):
+    """Per-doc hash/dedup signals in ONE relation (r3 VERDICT item 1
+    consolidation): normalized md5 fingerprint ⋈ 64-bit simhash ⋈
+    exact-dedup representative flag (sha256 group, min-id wins) —
+    three operators, one green CORRECTNESS row, all joined on
+    doc_id."""
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
-    return textops.exact_dedup(docs).select(
-        F.col("doc_id").alias("rep_doc_id")).orderBy("rep_doc_id")
+    fp = textops.fingerprint(docs)
+    sim = textops.simhash(docs)
+    reps = textops.exact_dedup(docs).select(
+        "doc_id", F.lit(True).alias("is_rep"))
+    return (fp.join(sim, "doc_id")
+            .join(reps, "doc_id", "left")
+            .withColumn("is_rep",
+                        F.coalesce(F.col("is_rep"), F.lit(False))))
 
 
-def q_fingerprint(spark, sf_dir):
+def q_text_stats(spark, sf_dir):
+    """Per-doc text statistics in ONE relation (consolidation):
+    whitespace-token/char-class stats ⋈ BPE-ish token budget +
+    fertility ⋈ n-gram language-ID heuristic."""
     from frontier.spark import textops
-    return textops.fingerprint(_read(spark, sf_dir, "documents"))
-
-
-def q_token_stats(spark, sf_dir):
-    from frontier.spark import textops
-    return textops.token_stats(_read(spark, sf_dir, "documents")) \
+    docs = _read(spark, sf_dir, "documents")
+    ts = textops.token_stats(docs) \
         .select("doc_id", "n_tokens", "alpha_ratio", "punct_ratio")
-
-
-def q_lang_guess(spark, sf_dir):
-    from frontier.spark import textops
-    return textops.lang_guess(_read(spark, sf_dir, "documents"))
+    bp = textops.bpe_token_count(docs).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens",
+        # integer `div`, not double `/` + cast: double rounding near
+        # an integer boundary could disagree with the oracle's `//`
+        F.expr("CAST(CAST(n_bpe_tokens AS BIGINT) * 1000000 "
+               "DIV greatest(n_ws_tokens, 1) AS BIGINT)")
+        .alias("fertility_u"))
+    lg = textops.lang_guess(docs)
+    return ts.join(bp, "doc_id").join(lg, "doc_id")
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -236,7 +263,12 @@ def q_minhash_sig(spark, sf_dir):
                                       n_hashes=4)
 
 
-def q_lsh_pairs(spark, sf_dir):
+def q_lsh_jaccard(spark, sf_dir):
+    """MinHash-LSH banding candidate pairs WITH the n-gram Jaccard
+    verification attached (consolidation: the pair relation and its
+    verify were separate queries through r3). The banding equi-join
+    on (band, key) — never all-pairs — produces candidates; exact
+    shingle-Jaccard scores each one."""
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
     # persist: both sides of the banding self-join need the signature
@@ -247,26 +279,12 @@ def q_lsh_pairs(spark, sf_dir):
     pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2) \
         .localCheckpoint(eager=True)
     sig.unpersist()
-    return pairs
-
-
-def q_simhash(spark, sf_dir):
-    from frontier.spark import textops
-    return textops.simhash(_read(spark, sf_dir, "documents"))
-
-
-def q_bpe_token_count(spark, sf_dir):
-    """Token-budget counting: whitespace + BPE-ish regex tokens and
-    their ratio (fertility, in exact 1e-6 integer units)."""
-    from frontier.spark import textops
-    out = textops.bpe_token_count(_read(spark, sf_dir, "documents"))
-    # integer `div`, not double `/` + cast: double rounding near an
-    # integer boundary could disagree with the oracle's exact `//`
-    return out.select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens",
-        F.expr("CAST(CAST(n_bpe_tokens AS BIGINT) * 1000000 "
-               "DIV greatest(n_ws_tokens, 1) AS BIGINT)")
-        .alias("fertility_u"))
+    jac = textops.ngram_jaccard(docs, pairs)
+    # floor, not round: Spark rounds HALF_UP, DuckDB HALF_EVEN — exact
+    # binary ties (e.g. jaccard = k/128) would hash-mismatch
+    return jac.select("doc_a", "doc_b",
+                      F.floor(F.col("jaccard") * 1_000_000)
+                      .cast("bigint").alias("jaccard_u"))
 
 
 def q_winnow_fingerprint(spark, sf_dir):
@@ -422,14 +440,23 @@ def q_training_mix(spark, sf_dir):
             .join(lp.select("doc_id", "mean_lp_micro"), "doc_id"))
 
 
-def q_ann_ivf_topk(spark, sf_dir):
+def q_ann_approx_topk(spark, sf_dir):
+    """BOTH approximate-ANN scale paths in one relation
+    (consolidation): Lloyd-trained IVF probe top-k and
+    hyperplane-LSH banding top-k, tagged by method."""
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"))
-    return ann.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4) \
-        .select("query_id", "neighbor_id", "rank")
+    ivf = ann.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4) \
+        .select(F.lit("ivf").alias("method"),
+                "query_id", "neighbor_id", "rank")
+    lsh = ann.lsh_topk(emb, queries, dim=_embedding_dim(sf_dir), k=3,
+                       n_bands=8, bits_per_band=4) \
+        .select(F.lit("lsh").alias("method"),
+                "query_id", "neighbor_id", "rank")
+    return ivf.unionByName(lsh)
 
 
 def _embedding_dim(sf_dir):
@@ -570,49 +597,28 @@ def q_simhash_pairs(spark, sf_dir):
     return textops.simhash_near_pairs(sim, max_hamming=16)
 
 
-def q_ann_lsh_topk(spark, sf_dir):
-    from frontier.spark import ann
-    emb = _read(spark, sf_dir, "embeddings")
-    # round 1 drove a .first() action here; now a driver-side
-    # one-row pyarrow read
-    dim = _embedding_dim(sf_dir)
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"))
-    return ann.lsh_topk(emb, queries, dim=dim, k=3,
-                        n_bands=8, bits_per_band=4) \
-        .select("query_id", "neighbor_id", "rank")
-
-
-def q_ngram_jaccard(spark, sf_dir):
-    from frontier.spark import textops
-    docs = _read(spark, sf_dir, "documents")
-    sig = textops.minhash_signatures(docs, n_hashes=4).persist()
-    pairs = textops.lsh_candidate_pairs(sig, n_hashes=4, band_size=2) \
-        .localCheckpoint(eager=True)  # then release the sig cache
-    sig.unpersist()
-    jac = textops.ngram_jaccard(docs, pairs)
-    # floor, not round: Spark rounds HALF_UP, DuckDB HALF_EVEN — exact
-    # binary ties (e.g. jaccard = k/128) would hash-mismatch
-    return jac.select("doc_a", "doc_b",
-                      F.floor(F.col("jaccard") * 1_000_000)
-                      .cast("bigint").alias("jaccard_u"))
-
-
-def q_header_get(spark, sf_dir):
-    """H1/H2 as relational ops over the exploded headers array: pull
-    Content-Location out of the multimap column and count header
-    lines per part — oracle restates both from the generator rules."""
+def q_mhtml_meta(spark, sf_dir):
+    """H1/H2 header multimap ops + C4 content hashing in ONE
+    relation (consolidation): pull Content-Location out of the
+    headers column, count header lines per main part, and attach the
+    sha256 of the extracted main text (NULL where extraction
+    parity-nulls it) — oracle restates all from generator rules."""
     from frontier.spark import parse
-    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
+    pages = _pages(spark, sf_dir)
+    res = parse.parse_pages(pages, with_content=False)
     main = res.where(F.col("content_type") == "text/html")
-    return main.select(
+    hg = main.select(
         _doc_id("url").alias("doc_id"),
         (parse.header_get(F.col("headers"), "cOntent-Location")
          == F.col("url")).alias("loc_matches"),
         F.size(parse.header_get_all(F.col("headers"),
                                     "Content-Type")).alias("n_ct"),
         F.size("headers").alias("n_headers"))
+    sha = (parse.extract_main_text(pages)
+           .where(F.col("text").isNotNull())
+           .select(_doc_id("url").alias("doc_id"),
+                   F.sha2(F.col("text"), 256).alias("text_sha")))
+    return hg.join(sha, "doc_id", "left")
 
 
 def q_sessionize(spark, sf_dir):
@@ -623,27 +629,29 @@ def q_sessionize(spark, sf_dir):
     return eventops.session_stats(events, gap_seconds=21600)
 
 
-def q_part_above_avg(spark, sf_dir):
-    """Correlated-aggregate filter shape: parts priced above their
-    brand's average (window avg, codegen'd)."""
-    part = _read(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand")
-    return (part
-            .withColumn("_avg", F.avg("p_retailprice").over(w))
-            .where(F.col("p_retailprice") > F.col("_avg"))
-            .select("p_partkey", "p_brand",
-                    F.floor(F.col("p_retailprice") * 100)
-                    .cast("bigint").alias("price_c")))
-
-
-def q_events_daily(spark, sf_dir):
-    """Date functions: per-day event counts + value sums (cents)."""
+def q_temporal_report(spark, sf_dir):
+    """Temporal/grouping-sets report in ONE long-format relation
+    (consolidation): crawl-metrics ROLLUP over (lang, source) with
+    subtotals, unioned with per-day event counts + value sums —
+    SURVEY.md §2.7 grouping sets AND date functions in one green
+    row."""
+    docs = _read(spark, sf_dir, "documents")
     events = _read(spark, sf_dir, "events")
-    return (events
-            .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-            .agg(F.count("*").alias("n_events"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
-                 .alias("value_c")))
+    roll = (docs.rollup("lang", "source")
+            .agg(F.count("*").alias("n"),
+                 F.sum("n_chars").alias("v"))
+            .select(F.lit("docs").alias("grp"),
+                    F.col("lang").alias("k1"),
+                    F.col("source").alias("k2"), "n", "v"))
+    daily = (events
+             .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("v"))
+             .select(F.lit("events").alias("grp"),
+                     F.date_format("day", "yyyy-MM-dd").alias("k1"),
+                     F.lit(None).cast("string").alias("k2"), "n", "v"))
+    return roll.unionByName(daily)
 
 
 def q_rfc7bit_text(spark, sf_dir):
@@ -665,24 +673,39 @@ def q_rfc7bit_text(spark, sf_dir):
     return strict.join(lax, "doc_id")
 
 
-def q_text_sha(spark, sf_dir):
-    """Content-hash op (C4, mhtml.py:440-452 → sha2 builtin): sha256
-    of every extracted main text, byte-parity checkable because the
-    oracle hashes the source documents directly."""
-    from frontier.spark import parse
-    mt = parse.extract_main_text(_pages(spark, sf_dir))
-    return (mt.where(F.col("text").isNotNull())
-            .select(_doc_id("url").alias("doc_id"),
-                    F.sha2(F.col("text"), 256).alias("text_sha")))
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup (Lee et al. 2022 — the pass between
+    exact-dedup and minhash). ``documents.text`` carries no newlines,
+    so the query paragraphizes deterministically first: the delimiter
+    word `` table `` becomes a blank line (plain string replace —
+    identical in DuckDB), then the operator splits/normalizes/hashes
+    paragraphs and counts occurrences corpus-wide."""
+    from frontier.spark import textops
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n\n")))
+    return textops.paragraph_dedup(docs)
 
 
-def q_crawl_rollup(spark, sf_dir):
-    """Crawl-metrics report with ROLLUP (SURVEY.md §2.7 grouping
-    sets): page counts by (lang, source) with subtotals."""
+def q_html_clean(spark, sf_dir):
+    """HTML tag-strip / boilerplate removal: each doc's text is
+    wrapped in a deterministic HTML template (script + style +
+    comment + entities + per-``table``-word paragraph tags) and the
+    operator's regexp chain strips it back to prose; the oracle
+    rebuilds the same template and applies the same chain in
+    DuckDB, so the cleaned strings compare byte-for-byte."""
+    from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
-    return (docs.rollup("lang", "source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("sum_chars")))
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script>"
+              "<style>p{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        F.replace(F.col("text"), F.lit(" table "),
+                  F.lit("</p>\n<p>")),
+        F.lit("</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>"))
+    return textops.html_clean(docs.withColumn("html", html)) \
+        .select("doc_id", "clean_text")
 
 
 def q_media_features(spark, sf_dir):
@@ -721,11 +744,22 @@ def q_audio_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    """EXACTLY 50 entries — the driver grades the first 50, so every
+    operator must map to a row inside that window (r3 VERDICT item
+    1). Consolidations (each merged query evidences every operator it
+    absorbed): pricing_summary ⊃ part_above_avg · doc_hashes =
+    exact_dedup + fingerprint + simhash · text_stats = token_stats +
+    bpe_token_count + lang_guess · lsh_jaccard = lsh_pairs +
+    ngram_jaccard · ann_approx_topk = ann_ivf_topk + ann_lsh_topk ·
+    mhtml_meta = header_get + text_sha · temporal_report =
+    crawl_rollup + events_daily. New in r4: paragraph_dedup,
+    html_clean."""
+    out = {
         "mhtml_extract_text": q_mhtml_extract_text,
         "mhtml_resource_count": q_mhtml_resource_count,
         "mhtml_links": q_mhtml_links,
         "mhtml_filenames": q_mhtml_filenames,
+        "mhtml_meta": q_mhtml_meta,
         "urlnorm_query_sort": q_urlnorm_query_sort,
         "seen_antijoin": q_seen_antijoin,
         "first_wins_dedup": q_first_wins_dedup,
@@ -736,14 +770,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_nation_join": q_region_nation_join,
         "events_window": q_events_window,
         "event_type_except": q_event_type_except,
-        "exact_dedup": q_exact_dedup,
-        "fingerprint": q_fingerprint,
-        "token_stats": q_token_stats,
-        "lang_guess": q_lang_guess,
+        "doc_hashes": q_doc_hashes,
+        "text_stats": q_text_stats,
         "minhash_sig": q_minhash_sig,
-        "lsh_pairs": q_lsh_pairs,
-        "simhash": q_simhash,
+        "lsh_jaccard": q_lsh_jaccard,
+        "paragraph_dedup": q_paragraph_dedup,
+        "html_clean": q_html_clean,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_approx_topk": q_ann_approx_topk,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "cuckoo_antijoin": q_cuckoo_antijoin,
@@ -754,10 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_parts_main": q_list_parts_main,
         "simhash_pairs": q_simhash_pairs,
         "rfc7bit_text": q_rfc7bit_text,
-        "bpe_token_count": q_bpe_token_count,
         "winnow_fingerprint": q_winnow_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "training_select": q_training_select,
         "gopher_quality": q_gopher_quality,
         "stratified_sample": q_stratified_sample,
@@ -772,14 +804,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_indegree": q_page_indegree,
         "pagerank": q_pagerank,
         "sessionize": q_sessionize,
-        "part_above_avg": q_part_above_avg,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ngram_jaccard": q_ngram_jaccard,
-        "text_sha": q_text_sha,
-        "crawl_rollup": q_crawl_rollup,
-        "header_get": q_header_get,
-        "events_daily": q_events_daily,
+        "temporal_report": q_temporal_report,
     }
+    assert len(out) == 50, len(out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1073,10 +1101,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
                             * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
                         AS BIGINT) AS sum_disc_c4,
-                   COUNT(*) AS count_order
+                   COUNT(*) AS count_order,
+                   n_parts_above_avg, sum_above_c
             FROM lineitem
+            CROSS JOIN (
+              SELECT COUNT(*) AS n_parts_above_avg,
+                     CAST(SUM(CAST(floor(p_retailprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS sum_above_c
+              FROM (SELECT p_retailprice,
+                           AVG(p_retailprice) OVER (PARTITION BY p_brand)
+                               AS brand_avg
+                    FROM part)
+              WHERE p_retailprice > brand_avg)
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus""",
+            GROUP BY l_returnflag, l_linestatus,
+                     n_parts_above_avg, sum_above_c""",
         "top_revenue": """
             SELECT o_orderkey,
                    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
@@ -1103,41 +1142,68 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE value > 300
             EXCEPT
             SELECT DISTINCT event_type FROM events WHERE value > 400""",
-        "exact_dedup": """
-            SELECT MIN(doc_id) AS rep_doc_id
-            FROM documents GROUP BY sha256(text)""",
-        "fingerprint": """
-            SELECT doc_id,
-                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
-                       AS fingerprint
-            FROM documents""",
-        "token_stats": """
-            SELECT doc_id,
-                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
-                        AS INTEGER) AS n_tokens,
-                   length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                     / greatest(length(text), 1) AS alpha_ratio,
-                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                     / greatest(length(text), 1) AS punct_ratio
-            FROM documents""",
-        "lang_guess": """
-            SELECT doc_id,
-              (length(text)-length(replace(text,'data','')))//4 AS hits_a,
-              (length(text)-length(replace(text,'query','')))//5 AS hits_b,
-              (length(text)-length(replace(text,'join','')))//4 AS hits_c,
-              CASE
-                WHEN (length(text)-length(replace(text,'data','')))//4
-                     >= (length(text)-length(replace(text,'query','')))//5
-                 AND (length(text)-length(replace(text,'data','')))//4
-                     >= (length(text)-length(replace(text,'join','')))//4
-                  THEN 'A'
-                WHEN (length(text)-length(replace(text,'query','')))//5
-                     >= (length(text)-length(replace(text,'join','')))//4
-                  THEN 'B'
-                ELSE 'C' END AS lang_guess
-            FROM documents""",
+        "doc_hashes": _SIMHASH_CTE + """
+            , reps AS (
+              SELECT MIN(doc_id) AS doc_id
+              FROM documents GROUP BY sha256(text))
+            SELECT d.doc_id,
+                   md5(lower(regexp_replace(trim(d.text), '\\s+', ' ',
+                                            'g'))) AS fingerprint,
+                   sim.simhash64,
+                   (r.doc_id IS NOT NULL) AS is_rep
+            FROM documents d
+            JOIN sim ON sim.doc_id = d.doc_id
+            LEFT JOIN reps r ON r.doc_id = d.doc_id""",
+        "text_stats": """
+            WITH ts AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                          AS INTEGER) AS n_tokens,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       / greatest(length(text), 1) AS alpha_ratio,
+                     length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       / greatest(length(text), 1) AS punct_ratio
+              FROM documents
+            ), bc AS (
+              SELECT doc_id,
+                     len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x != '')) AS ws,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe
+              FROM documents
+            ), bp AS (
+              SELECT doc_id,
+                     CAST(ws AS INTEGER) AS n_ws_tokens,
+                     CAST(bpe AS INTEGER) AS n_bpe_tokens,
+                     CAST(bpe * 1000000 // greatest(ws, 1) AS BIGINT)
+                         AS fertility_u
+              FROM bc
+            ), lg AS (
+              SELECT doc_id,
+                (length(text)-length(replace(text,'data','')))//4
+                    AS hits_a,
+                (length(text)-length(replace(text,'query','')))//5
+                    AS hits_b,
+                (length(text)-length(replace(text,'join','')))//4
+                    AS hits_c,
+                CASE
+                  WHEN (length(text)-length(replace(text,'data','')))//4
+                       >= (length(text)-length(replace(text,'query','')))//5
+                   AND (length(text)-length(replace(text,'data','')))//4
+                       >= (length(text)-length(replace(text,'join','')))//4
+                    THEN 'A'
+                  WHEN (length(text)-length(replace(text,'query','')))//5
+                       >= (length(text)-length(replace(text,'join','')))//4
+                    THEN 'B'
+                  ELSE 'C' END AS lang_guess
+              FROM documents)
+            SELECT ts.doc_id, n_tokens, alpha_ratio, punct_ratio,
+                   n_ws_tokens, n_bpe_tokens, fertility_u,
+                   hits_a, hits_b, hits_c, lang_guess
+            FROM ts JOIN bp ON ts.doc_id = bp.doc_id
+            JOIN lg ON ts.doc_id = lg.doc_id""",
         "minhash_sig": _MINHASH_CTE + "SELECT * FROM sig",
-        "simhash": _SIMHASH_CTE + "SELECT doc_id, simhash64 FROM sim",
         "simhash_pairs": _SIMHASH_CTE + """
             , chunks AS (
               SELECT doc_id, simhash64, b AS blk,
@@ -1152,19 +1218,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 16""",
-        "lsh_pairs": _MINHASH_CTE + """
-            , bands AS (
-              SELECT doc_id, 0 AS band,
-                     CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key
-              FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band,
-                     CAST(h2 AS VARCHAR) || ':' || CAST(h3 AS VARCHAR) AS key
-              FROM sig)
-            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-            FROM bands l JOIN bands r
-              ON l.band = r.band AND l.key = r.key
-             AND l.doc_id < r.doc_id""",
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
             FROM (
@@ -1178,7 +1231,14 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT * FROM embeddings WHERE vec_id < 5) q
               WHERE e.vec_id != q.vec_id)
             WHERE rn <= 3""",
-        "ann_lsh_topk": _ANN_KEYS_CTE + """
+        # both approximate-ANN paths in one relation; DuckDB accepts
+        # each path's full CTE chain inside a derived-table subquery
+        "ann_approx_topk": (
+            "SELECT 'ivf' AS method, query_id, neighbor_id, rank "
+            "FROM (" + _ivf_oracle_sql() + ")\n"
+            "UNION ALL\n"
+            "SELECT 'lsh' AS method, query_id, neighbor_id, rank "
+            "FROM (" + _ANN_KEYS_CTE + """
             , cand AS (
               SELECT DISTINCT q.vec_id AS query_id,
                      e.vec_id AS neighbor_id
@@ -1198,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings q ON q.vec_id = c.query_id
             )
             SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
-            FROM scored WHERE rn <= 3""",
+            FROM scored WHERE rn <= 3)"""),
         "media_frames": """
             SELECT d.doc_id,
                    CAST(3 + CASE WHEN d.doc_id % 19 = 0
@@ -1287,7 +1347,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS n_main
             FROM documents""",
-        "ngram_jaccard": _MINHASH_CTE + """
+        "lsh_jaccard": _MINHASH_CTE + """
             , bands AS (
               SELECT doc_id, 0 AS band,
                      CAST(h0 AS VARCHAR) || ':' || CAST(h1 AS VARCHAR) AS key
@@ -1312,9 +1372,6 @@ def oracle_sql() -> dict[str, str]:
             FROM prs p
             JOIN shd a ON a.doc_id = p.doc_a
             JOIN shd b ON b.doc_id = p.doc_b""",
-        "text_sha": """
-            SELECT doc_id, sha256(text) AS text_sha
-            FROM documents WHERE doc_id % 19 != 0""",
         "rfc7bit_text": """
             SELECT doc_id,
                    CASE WHEN doc_id % 19 = 0 OR doc_id % 3 = 2
@@ -1322,21 +1379,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 19 = 0
                         THEN NULL ELSE text END AS text_7bit
             FROM documents""",
-        "bpe_token_count": """
-            WITH c AS (
-              SELECT doc_id,
-                     len(list_filter(
-                       regexp_split_to_array(trim(text), '\\s+'),
-                       x -> x != '')) AS ws,
-                     len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]')) AS bpe
-              FROM documents)
-            SELECT doc_id,
-                   CAST(ws AS INTEGER) AS n_ws_tokens,
-                   CAST(bpe AS INTEGER) AS n_bpe_tokens,
-                   CAST(bpe * 1000000 // greatest(ws, 1) AS BIGINT)
-                       AS fertility_u
-            FROM c""",
         "winnow_fingerprint": """
             WITH g AS (
               SELECT doc_id, lower(text) AS t,
@@ -1626,7 +1668,6 @@ def oracle_sql() -> dict[str, str]:
             JOIN clean ON d.doc_id = clean.doc_id
             JOIN lp ON d.doc_id = lp.doc_id
             WHERE lp.mean_lp_micro > -3405000""",
-        "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_near_dup": _ANN_KEYS_CTE + """
             , cand AS (
               SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
@@ -1642,9 +1683,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings b ON b.vec_id = c.vec_b
             WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4""",
-        "header_get": """
+        "mhtml_meta": """
             SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
-                   3 AS n_headers
+                   3 AS n_headers,
+                   CASE WHEN doc_id % 19 != 0 THEN sha256(text) END
+                       AS text_sha
             FROM documents""",
         "sessionize": """
             WITH s AS (
@@ -1666,22 +1709,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
                    MIN(event_id) AS first_event_id
             FROM s2 GROUP BY user_id, session_seq""",
-        "part_above_avg": """
-            WITH w AS (
-              SELECT p_partkey, p_brand, p_retailprice,
-                     AVG(p_retailprice) OVER (PARTITION BY p_brand)
-                         AS brand_avg
-              FROM part)
-            SELECT p_partkey, p_brand,
-                   CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c
-            FROM w WHERE p_retailprice > brand_avg""",
-        "events_daily": """
-            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
-                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT)
-                       AS value_c
-            FROM events GROUP BY 1""",
-        "crawl_rollup": """
-            SELECT lang, source, COUNT(*) AS n_docs,
-                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-            FROM documents GROUP BY ROLLUP (lang, source)""",
+        "temporal_report": """
+            SELECT 'docs' AS grp, lang AS k1, source AS k2,
+                   COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS v
+            FROM documents GROUP BY ROLLUP (lang, source)
+            UNION ALL
+            SELECT 'events' AS grp,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS k1,
+                   NULL AS k2, COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT))
+                        AS BIGINT) AS v
+            FROM events GROUP BY date_trunc('day', ts)""",
+        "paragraph_dedup": """
+            WITH p0 AS (
+              SELECT doc_id,
+                     string_split_regex(
+                       replace(text, ' table ', chr(10)||chr(10)),
+                       '\\n\\s*\\n') AS parts
+              FROM documents
+            ), pe0 AS (
+              SELECT doc_id,
+                     CAST(generate_subscripts(parts, 1) - 1
+                          AS INTEGER) AS para_index,
+                     lower(trim(unnest(parts))) AS para
+              FROM p0
+            ), pe AS (SELECT * FROM pe0 WHERE para <> ''),
+            cnt AS (
+              SELECT md5(para) AS para_md5, COUNT(*) AS n_occurrences
+              FROM pe GROUP BY 1)
+            SELECT pe.doc_id, pe.para_index,
+                   md5(pe.para) AS para_md5,
+                   cnt.n_occurrences,
+                   cnt.n_occurrences >= 2 AS is_dup
+            FROM pe JOIN cnt ON md5(pe.para) = cnt.para_md5""",
+        "html_clean": """
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><head><script>var x=1;</script>'
+                     || '<style>p{color:red}</style></head><body><h1>Doc '
+                     || CAST(doc_id AS VARCHAR) || '</h1><!-- c --><p>'
+                     || replace(text, ' table ',
+                                '</p>' || chr(10) || '<p>')
+                     || '</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>'
+                         AS html
+              FROM documents
+            ), c1 AS (SELECT doc_id, regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM h),
+            c2 AS (SELECT doc_id, regexp_replace(c,
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(c,
+                 '(?s)<!--.*?-->', ' ', 'g') AS c FROM c2),
+            c4 AS (SELECT doc_id, regexp_replace(c,
+                 '<[^>]+>', ' ', 'g') AS c FROM c3),
+            c5 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(
+                   c, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                   AS c FROM c4)
+            SELECT doc_id,
+                   trim(regexp_replace(c, '\\s+', ' ', 'g'))
+                       AS clean_text
+            FROM c5""",
     }
