@@ -44,6 +44,26 @@ never shuffle (switch to the bucketed co-partitioned join for 10^8+
 batches — see fetch_mode). Results append, never rewrite.
 Plan-lineage truncation comes free from the per-round parquet
 checkpoint — without it the iterative plan would grow unboundedly.
+
+Round-4 plan-compile discipline (the loop's width-flat driver tax,
+r3 VERDICT item 3 — measured ~15-25 s/round of pure Catalyst work):
+
+* round state materializes via LAZY ``localCheckpoint`` (:func:`_ckpt`)
+  so every downstream plan is a shallow LogicalRDD — ``persist()``
+  kept full logical lineage and every consumer re-analyzed it;
+* a checkpoint BARRIER sits between the staged canon projection and
+  the discovery aggregate — column pruning + CollapseProject
+  otherwise inline the ~30 staged steps into one combinatorially-
+  duplicated expression (5-25 s per plan to re-optimize);
+* ``spark.sql.constraintPropagation.enabled=false`` (session.py) —
+  PruneFilters spent 10.6 s/plan deriving constraints over the canon
+  expression with zero effective rewrites (Catalyst rule dump);
+* snapshot table writes run CONCURRENTLY (snapshots.commit) so one
+  write's plan compile overlaps another's execution;
+* cached blocks are freed per round by persistent-RDD-registry diff
+  (localCheckpoint blocks otherwise free only on driver GC).
+
+Measured: 8M-page 2-round crawl 89.5 s → ~43 s at 32-wide (jvm canon).
 """
 
 from __future__ import annotations
@@ -170,20 +190,27 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         have_bloom = False
 
     for round_no in range(start_round, max_rounds):
-        # every persist in the round body is released in the finally
-        # below — an exception mid-round (fetch failure, commit error)
-        # must not leak cached partitions into the next round / the
-        # rest of the session (round-2 ADVICE)
-        persisted: list[DataFrame] = []
+        # Round state is materialized via LAZY localCheckpoint (see
+        # _ckpt): every block cached during the round is released in
+        # the finally below by diffing the persistent-RDD registry —
+        # an exception mid-round (fetch failure, commit error) must
+        # not leak cached partitions into the next round / the rest
+        # of the session (round-2 ADVICE; localCheckpoint blocks
+        # otherwise free only on driver GC, the measured 83→162 s
+        # in-session degradation).
+        jsc = spark.sparkContext._jsc
+        cached_before = set(jsc.getPersistentRDDs().keySet())
         try:
             stop = _crawl_round(
                 spark, round_no, frontier, robots, page_index, store,
                 budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                 have_bloom, seen_exact, seen_bloom, blocked,
-                fetch_mode, broadcast_fetch_max, target_fpp, persisted)
+                fetch_mode, broadcast_fetch_max, target_fpp)
         finally:
-            for df in persisted:
-                df.unpersist()
+            jmap = jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet()):
+                if rid not in cached_before:
+                    jmap.get(rid).unpersist(False)
         if stop:
             break
 
@@ -204,32 +231,61 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
     return store.manifest() or {}
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint — the round's materialization primitive
+    (round-4, r3 VERDICT item 3). ``persist()`` caches blocks but
+    keeps the full LOGICAL lineage, so every downstream Dataset the
+    round constructs re-analyzes the whole tree — measured ~15 s of
+    pure width-flat driver-side plan construction per round (21.6 s
+    for the seen/bloom/gate section alone at sf0.001, NO action
+    running). A lazily-checkpointed Dataset's plan is a shallow
+    LogicalRDD immediately, so every downstream construction is
+    O(shallow); blocks cache identically on first action (concurrent
+    first actions dedup via BlockManager get-or-compute). The caller
+    releases the blocks by persistent-RDD-registry diff."""
+    return df.localCheckpoint(eager=False)
+
+
 def _crawl_round(spark, round_no, frontier, robots, page_index, store,
                  budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                  have_bloom, seen_exact, seen_bloom, blocked,
-                 fetch_mode, broadcast_fetch_max, target_fpp,
-                 persisted) -> bool:
+                 fetch_mode, broadcast_fetch_max, target_fpp) -> bool:
     """One crawl round; returns True when the frontier is exhausted.
-    Appends every persisted DataFrame to ``persisted`` (the caller
-    unpersists in a finally — round-2 ADVICE: an exception between
-    persist and commit must not leak cached partitions)."""
+    Every intermediate the round materializes goes through
+    :func:`_ckpt`; the caller frees the blocks in a finally (round-2
+    ADVICE: an exception between checkpoint and commit must not leak
+    cached partitions)."""
+    import os as _os
+    import time as _time
+    if _os.environ.get("FRONTIER_DEBUG_TIMING"):
+        _t = [_time.perf_counter()]
+
+        def _lap(msg):
+            now = _time.perf_counter()
+            print(f"[round {round_no}] {msg}: {now - _t[0]:.2f}s",
+                  flush=True)
+            _t[0] = now
+    else:
+        def _lap(msg):
+            pass
     # 1. (robots already enforced at frontier entry — every frontier
     # row is allowed by invariant; see _gate_frontier below.)
     # slim (no page bytes) and consumed twice — the politeness cut
     # AND the leftover anti-join inside the frontier write; without
-    # persist the host chain recomputes at commit time
-    staged = sched.with_host(frontier).persist()
-    persisted.append(staged)
+    # the checkpoint the host chain recomputes at commit time
+    staged = _ckpt(sched.with_host(frontier))
+    _lap("staged built")
 
-    # 2. politeness budget (skew-safe two-phase top-k). Persisted:
+    # 2. politeness budget (skew-safe two-phase top-k). Checkpointed:
     # the batch feeds the fetch join, the leftover anti-join, the
-    # seen update AND the bloom build — without persist each
-    # consumer recomputes the window chain. Its count is the ONE
-    # pre-commit action per round (empty-check + metric in one).
-    batch = sched.politeness_cut(staged, budget_per_host) \
-        .select(*FRONTIER_COLS, "host", "rank_in_host").persist()
-    persisted.append(batch)
+    # seen update AND the bloom build — without it each consumer
+    # recomputes the window chain. Its count is the ONE pre-commit
+    # action per round (empty-check + metric in one).
+    batch = _ckpt(sched.politeness_cut(staged, budget_per_host)
+                  .select(*FRONTIER_COLS, "host", "rank_in_host"))
+    _lap("batch built")
     n_scheduled = batch.count()
+    _lap("batch.count")
     if n_scheduled == 0:
         return True
     leftover = staged.select(*FRONTIER_COLS) \
@@ -244,24 +300,37 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
             else "copartition"
     else:
         mode = fetch_mode
-    fetched = fetch_pages(page_index, batch, mode).persist()
-    persisted.append(fetched)
+    fetched = _ckpt(fetch_pages(page_index, batch, mode))
+    _lap("fetched built")
     results = fetched.where(F.col("text").isNotNull()) \
         .select("url_canon", "text",
                 F.lit(round_no).alias("round"))
 
-    # 4. discovery: explode links, canon, min-merge per new url
+    # 4. discovery: explode links, canon, min-merge per new url.
+    # The checkpoint BETWEEN the canon projection and the groupBy is
+    # a plan barrier, not (only) a cache: with an Aggregate directly
+    # above the staged canon chain, column pruning keeps url_canon
+    # alone and CollapseProject then inlines every staged step into
+    # ONE combinatorially-duplicated expression — Catalyst spends
+    # 5-25 s PER PLAN re-optimizing that tree (measured: canon over
+    # scan plans in 0.7 s; canon+groupBy in 5.9 s; the full
+    # discovery→gate tree in 27 s, all driver-flat). Behind the
+    # barrier the projection keeps its cheap staged shape and every
+    # downstream plan is O(shallow).
     raw_links = (fetched
                  .where(F.col("links").isNotNull())
                  .select(F.col("priority"), F.col("page_ts"),
                          F.explode("links").alias("link")))
-    candidates = (sched.with_url_canon(raw_links, "link")
-                  .where(F.col("url_canon").isNotNull())
+    canon_links = _ckpt(sched.with_url_canon(raw_links, "link")
+                        .where(F.col("url_canon").isNotNull())
+                        .select("url_canon", "priority", "page_ts"))
+    candidates = (canon_links
                   .groupBy("url_canon")
                   .agg(F.min(F.struct(
                       (F.col("priority") + 1).alias("priority"),
                       F.col("page_ts").alias("warc_ts"))).alias("o"))
                   .select("url_canon", "o.priority", "o.warc_ts"))
+    _lap("discovery built")
 
     # 5. seen update + unseen filter. When the previous round
     # estimated the Bloom past target_fpp, REBUILD from the exact
@@ -285,24 +354,32 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     fresh = seenmod.filter_unseen(candidates, new_bloom, new_seen,
                                   num_buckets=num_buckets)
     fresh = fresh.join(blocked, "url_canon", "left_anti") \
-        .join(leftover.select("url_canon"), "url_canon", "left_anti") \
-        .persist()
-    # persist: the discovery chain (explode → canon → bloom probe →
-    # anti-joins) feeds BOTH the frontier write and (via the entry
-    # gate below) the blocked write — without the cache each commit
-    # write recomputes it from the fetch join up (measured 19 s + 13 s
-    # per round of pure recompute at sf0.001; ~1 s cached). Released
-    # by the caller's finally like every other per-round persist.
-    persisted.append(fresh)
+        .join(leftover.select("url_canon"), "url_canon", "left_anti")
 
     # robots gate at frontier entry: only NEW offers are matched
     # (O(discoveries), not O(frontier)). newly_blocked is disjoint
     # from `blocked` by construction (fresh was just anti-joined
     # against it) and internally distinct (fresh is grouped by
     # url_canon), so the union needs no dedup shuffle.
+    #
+    # The checkpoint sits ABOVE the gate (round-4): the discovery
+    # chain (explode → canon → bloom probe → anti-joins → robots
+    # match) feeds BOTH the frontier write (allowed side) and the
+    # blocked write (denied side) — materializing below the gate made
+    # the blocked write re-run the robots regex match over every
+    # fresh offer (measured ~5 s/round at 2M pages; the pre-r3
+    # unmaterialized shape recomputed the whole chain, 19 s + 13 s
+    # at sf0.001).
     if robots is not None:
-        fresh, newly_blocked = _gate_frontier(fresh, robots)
-        blocked = blocked.unionByName(newly_blocked)
+        gated = _ckpt(sched.apply_robots(sched.with_host(fresh),
+                                         robots))
+        fresh = gated.where(F.col("robots_allowed")) \
+            .select(*FRONTIER_COLS)
+        blocked = blocked.unionByName(
+            gated.where(~F.col("robots_allowed")).select("url_canon"))
+    else:
+        fresh = _ckpt(fresh)
+    _lap("gate built")
 
     # 6. snapshot commit (also truncates plan lineage). Metrics
     # ride the commit: discovered_new via df.observe on the
@@ -344,6 +421,7 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         "budget_per_host": budget_per_host,
         "_bloom": bloom_metrics,
     }
+    _lap("commit plans built")
     store.commit({
         "frontier": new_frontier,
         "seen_exact": new_seen,
@@ -352,6 +430,7 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         "batch": batch,
         "results": results,
     }, metrics)
+    _lap("commit done")
     return False
 
 

@@ -73,6 +73,8 @@ class SnapshotStore:
         metrics (row counts, observation results) from the committed
         state without any pre-commit Spark actions.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
         parent = self.latest_id()
@@ -80,8 +82,11 @@ class SnapshotStore:
         lineage: dict[str, Any] = {}
         table_paths: dict[str, str] = {}
         debug_timing = bool(os.environ.get("FRONTIER_DEBUG_TIMING"))
-        for name, df in tables.items():
-            path = os.path.join(self.root, "data", f"snap-{snap_id}", name)
+
+        def write_one(item):
+            name, df = item
+            path = os.path.join(self.root, "data",
+                                f"snap-{snap_id}", name)
             t0 = time.perf_counter()
             df.write.mode("overwrite").parquet(path)
             if debug_timing:
@@ -93,13 +98,29 @@ class SnapshotStore:
             per_file = {
                 f: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
                 for f in files}
-            lineage[name] = {
+            return name, path, {
                 "n_files": len(files),
                 "files": files,
                 "file_rows": per_file,
                 "n_rows": sum(per_file.values()),
             }
-            table_paths[name] = path
+
+        # CONCURRENT table writes (round-4, r3 VERDICT item 3): each
+        # write is an independent Spark job into its own directory,
+        # but serially each one first pays a width-FLAT driver stage
+        # (analysis + physical planning + codegen) while the cluster
+        # idles. Submitting all writes at once overlaps one table's
+        # plan compile with another's execution — the manifest is
+        # still written only after EVERY write returns, so the
+        # atomic-rename commit contract is unchanged, and concurrent
+        # jobs touching the same persisted round state are safe
+        # (BlockManager get-or-compute dedups per-partition cache
+        # materialization). Any write failure propagates before the
+        # manifest exists → the snapshot stays invisible, as before.
+        with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
+            for name, path, line in pool.map(write_one, tables.items()):
+                lineage[name] = line
+                table_paths[name] = path
         resolved: dict[str, Any] = {}
         for key, val in (metrics or {}).items():
             out = val(lineage) if callable(val) else val
