@@ -188,6 +188,10 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         seen_bloom = spark.createDataFrame([], seenmod.BLOOM_DDL)
         start_round = 0
         have_bloom = False
+    # blocked rows not yet in any snapshot (seed-time gating on a
+    # fresh start) — they ride the next round's append delta
+    blocked_pending = blocked if latest is None \
+        else spark.createDataFrame([], "url_canon string")
 
     for round_no in range(start_round, max_rounds):
         # Round state is materialized via LAZY localCheckpoint (see
@@ -205,7 +209,8 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                 spark, round_no, frontier, robots, page_index, store,
                 budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                 have_bloom, seen_exact, seen_bloom, blocked,
-                fetch_mode, broadcast_fetch_max, target_fpp)
+                blocked_pending, fetch_mode, broadcast_fetch_max,
+                target_fpp)
         finally:
             jmap = jsc.getPersistentRDDs()
             for rid in list(jmap.keySet()):
@@ -226,6 +231,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         seen_exact = store.read(spark, "seen_exact")
         seen_bloom = store.read(spark, "seen_bloom")
         blocked = store.read(spark, "blocked")
+        blocked_pending = spark.createDataFrame([], "url_canon string")
         have_bloom = True
 
     return store.manifest() or {}
@@ -249,7 +255,8 @@ def _ckpt(df: DataFrame) -> DataFrame:
 def _crawl_round(spark, round_no, frontier, robots, page_index, store,
                  budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                  have_bloom, seen_exact, seen_bloom, blocked,
-                 fetch_mode, broadcast_fetch_max, target_fpp) -> bool:
+                 blocked_pending, fetch_mode, broadcast_fetch_max,
+                 target_fpp) -> bool:
     """One crawl round; returns True when the frontier is exhausted.
     Every intermediate the round materializes goes through
     :func:`_ckpt`; the caller frees the blocks in a finally (round-2
@@ -337,8 +344,16 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     # relation at doubled width instead of merging (merging
     # different widths is meaningless — positions use different
     # moduli).
-    new_seen = seen_exact.unionByName(batch.select("url_canon")) \
-        .dropDuplicates(["url_canon"])
+    #
+    # Disjointness invariant (round-4, enables the append-only seen
+    # table): every frontier row is unseen by construction
+    # (discoveries pass filter_unseen before entering; leftovers were
+    # never scheduled), so the scheduled batch can NEVER intersect
+    # seen_exact and the cumulative relation is a plain union — no
+    # dedup shuffle (the old dropDuplicates re-shuffled the ENTIRE
+    # seen set every round: O(total) work at 10^10 URLs), and the
+    # snapshot commits only the batch DELTA (Iceberg append).
+    new_seen = seen_exact.unionByName(batch.select("url_canon"))
     if rebuild_bloom:
         bloom_bits *= 2
         new_bloom = seenmod.build(new_seen, num_buckets=num_buckets,
@@ -375,10 +390,16 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
                                          robots))
         fresh = gated.where(F.col("robots_allowed")) \
             .select(*FRONTIER_COLS)
-        blocked = blocked.unionByName(
-            gated.where(~F.col("robots_allowed")).select("url_canon"))
+        newly_blocked = gated.where(~F.col("robots_allowed")) \
+            .select("url_canon")
     else:
         fresh = _ckpt(fresh)
+        newly_blocked = spark.createDataFrame([], "url_canon string")
+    # append DELTA for the blocked table: any still-uncommitted
+    # seed-time blocks plus this round's newly gated-out offers —
+    # disjoint from the committed blocked set by construction (fresh
+    # was anti-joined against it above), so no dedup needed
+    blocked_delta = blocked_pending.unionByName(newly_blocked)
     _lap("gate built")
 
     # 6. snapshot commit (also truncates plan lineage). Metrics
@@ -424,12 +445,14 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     _lap("commit plans built")
     store.commit({
         "frontier": new_frontier,
-        "seen_exact": new_seen,
+        # append tables: only the round's DELTA is written; the
+        # manifest chains parent file lists (snapshots.commit)
+        "seen_exact": batch.select("url_canon"),
         "seen_bloom": new_bloom,
-        "blocked": blocked,
+        "blocked": blocked_delta,
         "batch": batch,
         "results": results,
-    }, metrics)
+    }, metrics, append={"seen_exact", "blocked"})
     _lap("commit done")
     return False
 

@@ -61,7 +61,8 @@ class SnapshotStore:
 
     # -- commit ----------------------------------------------------------
     def commit(self, tables: dict[str, DataFrame],
-               metrics: dict[str, Any] | None = None) -> int:
+               metrics: dict[str, Any] | None = None,
+               append: set[str] | frozenset[str] = frozenset()) -> int:
         """Write tables + manifest. Per-file row counts come from the
         parquet FOOTERS (pyarrow metadata, driver-side, zero Spark
         jobs) — the old read-back ``.count()`` per table recomputed
@@ -72,6 +73,20 @@ class SnapshotStore:
         ``fn(lineage)`` after the writes, so callers can derive
         metrics (row counts, observation results) from the committed
         state without any pre-commit Spark actions.
+
+        Tables named in ``append`` use Iceberg APPEND semantics
+        (round-4, the 10^10-URL seen-set requirement): only the
+        DELTA DataFrame is written; the manifest entry becomes the
+        parent's path LIST plus the new delta directory, so the
+        cumulative relation is never rewritten (the old shape
+        rewrote the full seen set every round — O(total-seen) I/O
+        per round, impossible at 10^10 URLs). ``read()`` unions the
+        listed paths; lineage ``n_rows`` stays CUMULATIVE
+        (parent + delta) so consumers (CLI `seen` metric) are
+        unchanged, with the delta under ``delta_rows``/``files``.
+        The caller owns the disjointness invariant (crawl: a
+        scheduled batch can never intersect the committed seen set —
+        frontier rows are unseen by construction).
         """
         from concurrent.futures import ThreadPoolExecutor
 
@@ -79,8 +94,9 @@ class SnapshotStore:
 
         parent = self.latest_id()
         snap_id = 0 if parent is None else parent + 1
+        parent_man = self.manifest(parent) if parent is not None else None
         lineage: dict[str, Any] = {}
-        table_paths: dict[str, str] = {}
+        table_paths: dict[str, Any] = {}
         debug_timing = bool(os.environ.get("FRONTIER_DEBUG_TIMING"))
 
         def write_one(item):
@@ -119,8 +135,20 @@ class SnapshotStore:
         # manifest exists → the snapshot stays invisible, as before.
         with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
             for name, path, line in pool.map(write_one, tables.items()):
+                if name in append:
+                    prev_paths: list[str] = []
+                    prev_rows = 0
+                    if parent_man and name in parent_man["tables"]:
+                        prev = parent_man["tables"][name]
+                        prev_paths = prev if isinstance(prev, list) \
+                            else [prev]
+                        prev_rows = parent_man["lineage"][name]["n_rows"]
+                    line["delta_rows"] = line["n_rows"]
+                    line["n_rows"] = prev_rows + line["delta_rows"]
+                    table_paths[name] = prev_paths + [path]
+                else:
+                    table_paths[name] = path
                 lineage[name] = line
-                table_paths[name] = path
         resolved: dict[str, Any] = {}
         for key, val in (metrics or {}).items():
             out = val(lineage) if callable(val) else val
@@ -148,7 +176,9 @@ class SnapshotStore:
         man = self.manifest(snapshot_id)
         if man is None or table not in man["tables"]:
             return None
-        return spark.read.parquet(man["tables"][table])
+        entry = man["tables"][table]
+        paths = entry if isinstance(entry, list) else [entry]
+        return spark.read.parquet(*paths)
 
     def rollback(self, to_snapshot_id: int) -> None:
         """Drop manifests newer than ``to_snapshot_id`` (data files are
@@ -180,11 +210,14 @@ class SnapshotStore:
         import glob as globmod
         import shutil
 
-        parts = []
+        parts: list[str] = []
         for sid in self.snapshot_ids():
             man = self.manifest(sid)
             if table in man["tables"]:
-                parts.append(man["tables"][table])
+                entry = man["tables"][table]
+                for p in (entry if isinstance(entry, list) else [entry]):
+                    if p not in parts:  # append deltas repeat across manifests
+                        parts.append(p)
         cdir = os.path.join(self.root, "data", "compacted")
         prev = sorted(globmod.glob(os.path.join(cdir, f"{table}-upto-*")))
         prev = [p for p in prev if not p.endswith(".staging")]
@@ -204,19 +237,36 @@ class SnapshotStore:
         return out
 
     def expire(self, keep_last: int) -> list[int]:
-        """Iceberg-style snapshot expiration: drop the manifests AND
-        data directories of all but the newest ``keep_last``
-        snapshots. State tables (frontier/seen/bloom) are rewritten
-        whole every round, so expiring old rounds never loses resume
-        state; per-round ``results`` history should be compacted
-        first (:meth:`compact_results`) if it matters. Returns the
-        expired snapshot ids."""
+        """Iceberg-style snapshot expiration: drop the manifests and
+        UNREFERENCED data directories of all but the newest
+        ``keep_last`` snapshots. Whole-rewrite state tables
+        (frontier/bloom) expire with their snapshot; APPEND-table
+        deltas (seen_exact/blocked) stay referenced by live
+        manifests, so only directories no kept manifest points at
+        are deleted — exactly Iceberg's reachability rule. Per-round
+        ``results`` history should be compacted first
+        (:meth:`compact_results`) if it matters. Returns the expired
+        snapshot ids."""
         import shutil
 
         ids = self.snapshot_ids()
         drop = ids[:-keep_last] if keep_last > 0 else []
+        keep = ids[-keep_last:] if keep_last > 0 else ids
+        referenced: set[str] = set()
+        for sid in keep:
+            man = self.manifest(sid)
+            for entry in man["tables"].values():
+                referenced.update(
+                    entry if isinstance(entry, list) else [entry])
         for sid in drop:
             os.remove(self._manifest_path(sid))
-            shutil.rmtree(os.path.join(self.root, "data", f"snap-{sid}"),
-                          ignore_errors=True)
+            snap_dir = os.path.join(self.root, "data", f"snap-{sid}")
+            if not os.path.isdir(snap_dir):
+                continue
+            for tdir in os.listdir(snap_dir):
+                path = os.path.join(snap_dir, tdir)
+                if path not in referenced:
+                    shutil.rmtree(path, ignore_errors=True)
+            if not os.listdir(snap_dir):
+                os.rmdir(snap_dir)
         return drop

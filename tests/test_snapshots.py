@@ -75,3 +75,53 @@ def test_compact_folds_in_prior_compaction(spark, store):
     # idempotent: compacting again folds its own output, no dup rows
     again = store.compact_results(spark)
     assert spark.read.parquet(again).count() == 30
+
+
+def test_append_table_semantics(spark, tmp_path):
+    """Iceberg append (round-4): only deltas are written, the
+    manifest chains parent file lists, reads union them, and lineage
+    n_rows is cumulative (delta_rows per commit)."""
+    store = SnapshotStore(str(tmp_path / "append_store"))
+    for rnd in range(3):
+        delta = spark.createDataFrame(
+            [(f"u{rnd}-{i}",) for i in range(4)], "url_canon string")
+        store.commit({"seen": delta}, {"round": rnd}, append={"seen"})
+
+    man = store.manifest()
+    assert isinstance(man["tables"]["seen"], list)
+    assert len(man["tables"]["seen"]) == 3
+    assert man["lineage"]["seen"]["n_rows"] == 12  # cumulative
+    assert man["lineage"]["seen"]["delta_rows"] == 4
+    got = {r.url_canon for r in store.read(spark, "seen").collect()}
+    assert got == {f"u{r}-{i}" for r in range(3) for i in range(4)}
+    # time travel sees the prefix
+    mid = {r.url_canon for r in store.read(spark, "seen", 1).collect()}
+    assert mid == {f"u{r}-{i}" for r in range(2) for i in range(4)}
+
+
+def test_expire_keeps_referenced_append_deltas(spark, tmp_path):
+    """expire() must NOT delete append deltas an alive manifest still
+    references (Iceberg reachability), while whole-rewrite tables of
+    expired snapshots are removed."""
+    store = SnapshotStore(str(tmp_path / "exp_store"))
+    for rnd in range(3):
+        delta = spark.createDataFrame(
+            [(f"u{rnd}",)], "url_canon string")
+        state = spark.createDataFrame(
+            [(rnd,)], "v int")
+        store.commit({"seen": delta, "state": state}, {"round": rnd},
+                     append={"seen"})
+    dropped = store.expire(keep_last=1)
+    assert dropped == [0, 1]
+    # full seen set still readable through the latest manifest
+    got = {r.url_canon for r in store.read(spark, "seen").collect()}
+    assert got == {"u0", "u1", "u2"}
+    # expired snapshots' whole-rewrite state dirs are gone
+    import os as _os
+    assert not _os.path.exists(
+        _os.path.join(store.root, "data", "snap-0", "state"))
+    assert not _os.path.exists(
+        _os.path.join(store.root, "data", "snap-1", "state"))
+    # but their referenced seen deltas survive
+    assert _os.path.exists(
+        _os.path.join(store.root, "data", "snap-0", "seen"))
