@@ -530,3 +530,64 @@ def test_quality_ops_match_python_hypothesis(spark):
             continue
         want = sum(round(math.log(freq[w] / total) * 1e6) for w in ws)
         assert got[i].sum_lp_micro == want, (i, t)
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Cross-doc paragraph counts and flags; empty paragraphs dropped;
+    normalization is lower+trim; indices keep document order."""
+    docs = spark.createDataFrame(
+        [(0, "Shared Boiler\n\nunique zero"),
+         (1, "  shared boiler  \n\n\nunique one"),
+         (2, "unique two"),
+         (3, None),
+         (4, "\n\n\n\n")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.para_index): (r.n_occurrences, r.is_dup)
+           for r in textops.paragraph_dedup(docs).collect()}
+    # 'shared boiler' appears in docs 0 and 1 (case/space-insensitive)
+    assert out[(0, 0)] == (2, True)
+    assert out[(1, 0)] == (2, True)
+    assert out[(0, 1)] == (1, False)
+    assert out[(1, 1)] == (1, False)
+    assert out[(2, 0)] == (1, False)
+    # NULL text and blank-only docs contribute no rows
+    assert not any(k[0] in (3, 4) for k in out)
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """One uniform-key aggregation + one shuffle join back — never a
+    broadcast of the unbounded paragraph-hash relation, never a
+    cartesian."""
+    docs = spark.createDataFrame(
+        [(i, "a\n\nb") for i in range(100)], "doc_id long, text string")
+    plan = _plan(textops.paragraph_dedup(docs))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_html_clean_feeds_gopher(spark):
+    """The r4 pipeline composition: html_clean output drives the
+    Gopher quality signals (markup must not count as words)."""
+    words = " ".join(["data the a table row"] * 8)  # 40 words, clean
+    html = ("<html><head><script>var spam=1;</script><style>p{}</style>"
+            "</head><body><!-- x --><p>" + words + "</p>"
+            "&lt;tag&gt;&nbsp;&amp;</body></html>")
+    docs = spark.createDataFrame([(0, html)], "doc_id long, html string")
+    cleaned = textops.html_clean(docs)
+    row = cleaned.collect()[0]
+    assert "<" not in row.clean_text.replace("<tag>", "")  # entities only
+    assert "script" not in row.clean_text and "spam" not in row.clean_text
+    g = textops.gopher_quality(
+        cleaned.select("doc_id",
+                       F.col("clean_text").alias("text"))).collect()[0]
+    # 40 prose words + decoded entity tokens; markup contributed none
+    assert 40 <= g.n_words <= 43
+    assert g.stopword_hits >= 2
+
+
+def test_html_clean_no_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(0, "<p>x</p>")], "doc_id long, html string")
+    plan = _plan(textops.html_clean(docs))
+    assert "Exchange" not in plan, plan
