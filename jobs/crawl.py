@@ -41,6 +41,14 @@ def main():
     ap.add_argument("--compact-expire", type=int, default=0, metavar="K",
                     help="after the crawl: compact results and expire "
                          "all but the newest K snapshots")
+    ap.add_argument("--streaming-round", action="store_true",
+                    help="run ONE incremental crawl round through the "
+                         "Structured-Streaming availableNow path "
+                         "(stream-static fetch + stateful exactly-once "
+                         "seen set) instead of the batch loop; "
+                         "restartable from its checkpoint, results "
+                         "proven identical to crawl(max_rounds=1) by "
+                         "tests/test_streaming.py")
     args = ap.parse_args()
 
     from frontier import synth
@@ -54,9 +62,29 @@ def main():
     t0 = time.perf_counter()
 
     pages = synth.pages_from_documents(spark, args.sf_dir)
-    page_index = crawl.prepare_page_index(pages).cache()
     seeds = synth.seeds_from_documents(spark, args.sf_dir)
     robots = synth.robots_df(spark)
+
+    if args.streaming_round:
+        from frontier.spark import streaming
+
+        pages_dir = os.path.join(args.out, "pages")
+        if not os.path.exists(os.path.join(pages_dir, "_SUCCESS")):
+            pages.write.mode("overwrite").parquet(pages_dir)
+        out_dir = os.path.join(args.out, "streaming_results")
+        ckpt = os.path.join(args.out, "streaming_ckpt")
+        streaming.streaming_crawl_round(
+            spark, pages_dir, seeds, robots, args.budget,
+            out_dir, ckpt, max_files_per_trigger=8)
+        print(json.dumps({
+            "mode": "streaming_round",
+            "extracted_texts": spark.read.parquet(out_dir).count(),
+            "wall_sec": round(time.perf_counter() - t0, 2),
+        }))
+        spark.stop()
+        return
+
+    page_index = crawl.prepare_page_index(pages).cache()
     store = SnapshotStore(args.out)
 
     n_parse_errors = crawl.commit_parse_errors(store, page_index)
