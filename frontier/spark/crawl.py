@@ -41,7 +41,18 @@ cost ~6 recomputations of the round lineage per round.
 Scale notes: every per-round shuffle keys on url_canon or host; the
 budget-bounded batch is broadcast onto the page index so page bytes
 never shuffle (switch to the bucketed co-partitioned join for 10^8+
-batches — see fetch_mode). Results append, never rewrite.
+batches — see fetch_mode). Results append, never rewrite; seen_exact
+and blocked are APPEND tables (round 4 — only the round's delta is
+written, the one shape a 10^10-URL seen set admits). The frontier
+stays a whole-rewrite table ON PURPOSE: the politeness cut must read
+and re-rank the FULL frontier every round regardless (global top-k
+per host), so the O(frontier) scan is inherent to scheduling; a
+merge-on-read base+delta frontier would only move that same cost
+into every read plus an anti-join chain that needs periodic
+compaction, while the write is already a straight columnar dump of
+state the next round must re-sort anyway. Append pays off exactly
+where reads are membership probes (seen) or anti-joins (blocked),
+not full-relation sorts.
 Plan-lineage truncation comes free from the per-round parquet
 checkpoint — without it the iterative plan would grow unboundedly.
 
