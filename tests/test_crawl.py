@@ -255,3 +255,19 @@ def test_politeness_crawl_delay_budget(spark):
     first = cut.where(F.col("rank_in_host") == 1) \
         .select("host", "url_canon").collect()
     assert all(r.url_canon.endswith("/p0") for r in first)
+
+
+def test_crawl_releases_cached_blocks(spark, corpus, tmp_path):
+    """Round-4 regression: the loop's lazy-localCheckpoint state must
+    be freed per round via the persistent-RDD registry diff —
+    lingering blocks degrade long sessions 2× (ContextCleaner frees
+    them only on driver GC)."""
+    _, page_index, seeds, robots = corpus
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet())
+    store = SnapshotStore(str(tmp_path / "leak_check"))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=BUDGET, max_rounds=2, num_buckets=8)
+    after = set(jsc.getPersistentRDDs().keySet())
+    leaked = after - before
+    assert not leaked, f"crawl leaked cached RDDs: {leaked}"
