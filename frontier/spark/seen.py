@@ -257,7 +257,8 @@ def cuckoo_delete(seen_cuckoo: DataFrame, urls: DataFrame,
 def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
                   seen_exact: DataFrame | None = None,
                   url_col: str = "url_canon",
-                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> DataFrame:
+                  num_buckets: int = DEFAULT_NUM_BUCKETS,
+                  impl: str = "auto") -> DataFrame:
     """The full anti-join: Bloom pre-filter + exact confirm.
 
     * ``maybe_seen = False`` → definitely new (Bloom has no false
@@ -267,8 +268,32 @@ def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
 
     At 10^10 scale the exact join touches only FPP≈1% of candidates —
     that is the whole point of the partitioned Bloom.
+
+    ``impl`` picks the probe kernel (bit-identical, differential-
+    tested — tests/test_seen.py): ``pandas`` = cogroup numpy kernel
+    (:func:`probe`; local-mode default — Python workers run outside
+    the local[N] thread budget); ``jvm`` = whole-stage-codegen bit
+    test against broadcast word arrays (:func:`probe_jvm`; cluster
+    default — candidates never cross into Python). ``auto`` mirrors
+    the URL-canon convention: pandas under a local master, jvm
+    otherwise; override with $FRONTIER_PROBE_IMPL.
     """
-    tagged = probe(candidates, seen_bloom, url_col, num_buckets)
+    if impl == "auto":
+        import os
+
+        from pyspark.sql import SparkSession
+
+        impl = os.environ.get("FRONTIER_PROBE_IMPL", "")
+        if not impl:
+            master = SparkSession.getActiveSession() \
+                .sparkContext.master
+            impl = "pandas" if master.startswith("local") else "jvm"
+    if impl == "jvm":
+        tagged = probe_jvm(candidates, seen_bloom, url_col, num_buckets)
+    elif impl == "pandas":
+        tagged = probe(candidates, seen_bloom, url_col, num_buckets)
+    else:
+        raise ValueError(f"unknown probe impl: {impl!r}")
     fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen", "h1",
                                                     "h2", "bucket")
     if seen_exact is None:
@@ -279,3 +304,87 @@ def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
         seen_exact.select(F.col(url_col)).dropDuplicates([url_col]),
         url_col, "left_anti")
     return fresh.unionByName(confirmed_new)
+
+
+def _bloom_words(bloom_col):
+    """binary bloom blob → array<bigint> of LITTLE-ENDIAN 64-bit
+    words (word w holds bytes 8w..8w+7, byte b contributes bits
+    8b..8b+7), so bit i of the FILTER is bit (i % 64) of word
+    (i // 64) — matching the numpy kernel's byte/bit layout
+    (byte = pos >> 3, mask = 1 << (pos & 7))."""
+    n_words = F.ceil(F.octet_length(bloom_col) / 8).cast("int")
+
+    def word(w):
+        # 8 bytes, little-endian; substring is 1-based on binary
+        def byte_at(j):
+            # hex of the single byte → int; missing tail bytes → 0
+            b = F.substring(bloom_col, w * 8 + j + 1, 1)
+            return F.coalesce(
+                F.conv(F.hex(b), 16, 10).cast("bigint"), F.lit(0))
+        out = F.lit(0).cast("bigint")
+        for j in range(8):
+            out = out + F.shiftleft(byte_at(j), 8 * j)
+        return out
+
+    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+
+
+def probe_jvm(candidates: DataFrame, seen_bloom: DataFrame,
+              url_col: str = "url_canon",
+              num_buckets: int = DEFAULT_NUM_BUCKETS,
+              k: int = DEFAULT_K) -> DataFrame:
+    """Pure-JVM bloom membership test — same contract as
+    :func:`probe` (differential-tested bit-identical), but the
+    per-candidate hot path is whole-stage codegen: at 10^10
+    candidates/round the pandas probe ships every candidate row
+    through Arrow to Python workers; here candidates never leave the
+    JVM. The bloom relation (one row per bucket) is expanded to
+    array<bigint> words once and BROADCAST — 10 bits/key at 200k
+    keys/bucket is ~250 KB/bucket, i.e. a few MB total at the local
+    default and ~3 MB/bucket at the 4096-bucket/10^10-URL layout
+    (broadcast the needed buckets or fall back to a bucket-keyed
+    shuffle join at extreme widths).
+
+    Unsigned-arithmetic note: the numpy kernel computes positions as
+    ``(h1u + i·h2u) mod 2^64`` (uint64 WRAPPING add/multiply) and
+    only then ``mod m_bits`` — reduced-space modular math is NOT
+    equivalent when m does not divide 2^64 (a power-of-two test
+    filter hid exactly that; the default 2,000,000-bit filter
+    exposed it). The JVM twin therefore reproduces the wrap
+    verbatim in DECIMAL(38,0): widen the two's-complement longs to
+    their uint64 values, take the exact sum ``h1u + i·h2u``
+    (< 7·2^64, far inside decimal38), wrap ``pmod 2^64``, then
+    ``pmod m`` — all whole-stage codegen. Bit extraction uses
+    ``getbit`` (column-position bit test over the long's two's-
+    complement bits — exactly the stored layout).
+    """
+    cand = with_hash_cols(candidates, url_col, num_buckets)
+    blooms = seen_bloom.select(
+        "bucket", _bloom_words(F.col("bloom")).alias("_words"),
+        (F.octet_length("bloom") * 8).alias("_m_bits"))
+
+    joined = cand.join(F.broadcast(blooms), "bucket", "left")
+    dec = "decimal(38,0)"
+    two64 = F.lit("18446744073709551616").cast(dec)  # 2^64
+    m = F.col("_m_bits").cast(dec)
+
+    def u64(s):
+        wide = s.cast(dec)
+        return F.when(s < 0, wide + two64).otherwise(wide)
+
+    h1u = u64(F.col("h1"))
+    h2u = u64(F.expr("h2 | 1"))
+    bits = []
+    for i in range(k):
+        wrapped = F.pmod(h1u + F.lit(i).cast(dec) * h2u, two64)
+        pos = F.pmod(wrapped, m).cast("bigint")
+        word = F.element_at(F.col("_words"),
+                            F.floor(pos / 64).cast("int") + 1)
+        bits.append(F.getbit(word, F.pmod(pos, 64)) == 1)
+    all_set = bits[0]
+    for b in bits[1:]:
+        all_set = all_set & b
+    maybe = F.when(F.col("_words").isNull(), F.lit(False)) \
+        .otherwise(all_set)
+    return joined.withColumn("maybe_seen", maybe) \
+        .drop("_words", "_m_bits")
