@@ -179,7 +179,8 @@ def test_extract_features_deterministic_shape(resources):
     assert feats.count() == m.count()
     row = feats.first()
     assert len(row.feature) == 8
-    assert row.width in (4, 8, 12, 16) and row.height == 4
+    # PNG/video frames are height 4; JPEG header skeletons 2..5 (r4)
+    assert row.width in (4, 8, 12, 16) and row.height in (2, 3, 4, 5)
     # no decode failures on the synthetic corpus — real PNGs decode
     assert feats.where(F.col("width").isNull()).count() == 0
     # deterministic: same blob → same feature
@@ -219,3 +220,36 @@ def test_audio_features_pipeline(spark, sf_dir):
     for k in range(8):
         assert abs(row.feature[k]
                    - (samples[k] + samples[k + 8]) / 2 / 32768.0) < 1e-9
+
+
+def test_jpeg_sniff_fuzz_never_raises_uncaught():
+    """Property: jpeg_sniff either returns sane dimensions or raises
+    ValueError — never crashes, loops, or returns junk types — on
+    arbitrary marker soup after a valid SOI."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(tail):
+        blob = b"\xff\xd8" + tail
+        try:
+            w, h, prog, com = imagecodec.jpeg_sniff(blob)
+        except ValueError:
+            return
+        assert 0 < w <= 0xFFFF and 0 < h <= 0xFFFF
+        assert isinstance(prog, bool) and isinstance(com, bytes)
+
+    run()
+
+
+def test_jpeg_encode_sniff_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.integers(1, 0xFFFF), st.integers(1, 0xFFFF),
+           st.binary(max_size=64), st.booleans())
+    def run(w, h, com, prog):
+        blob = imagecodec.jpeg_encode(w, h, com, progressive=prog)
+        assert imagecodec.jpeg_sniff(blob) == (w, h, prog, com)
+
+    run()
