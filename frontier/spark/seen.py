@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 DEFAULT_NUM_BUCKETS = 64
 DEFAULT_BITS_PER_KEY = 10
@@ -271,23 +272,19 @@ def filter_unseen(candidates: DataFrame, seen_bloom: DataFrame,
 
     ``impl`` picks the probe kernel (bit-identical, differential-
     tested — tests/test_seen.py): ``pandas`` = cogroup numpy kernel
-    (:func:`probe`; local-mode default — Python workers run outside
-    the local[N] thread budget); ``jvm`` = whole-stage-codegen bit
-    test against broadcast word arrays (:func:`probe_jvm`; cluster
-    default — candidates never cross into Python). ``auto`` mirrors
-    the URL-canon convention: pandas under a local master, jvm
-    otherwise; override with $FRONTIER_PROBE_IMPL.
+    (:func:`probe`) — the DEFAULT everywhere: the membership test is
+    exactly the vectorized-batch shape Arrow-batched pandas is for,
+    and it beat the JVM expression probe 4.5× in measurement
+    (probe_jvm's broadcast join materializes each bucket's ~250 KB
+    word array into every joined row). ``jvm`` = whole-stage-codegen
+    bit test (:func:`probe_jvm`) — the Python-free alternative for
+    environments where Python workers are unavailable or rationed.
+    Override with $FRONTIER_PROBE_IMPL.
     """
     if impl == "auto":
         import os
 
-        from pyspark.sql import SparkSession
-
-        impl = os.environ.get("FRONTIER_PROBE_IMPL", "")
-        if not impl:
-            master = SparkSession.getActiveSession() \
-                .sparkContext.master
-            impl = "pandas" if master.startswith("local") else "jvm"
+        impl = os.environ.get("FRONTIER_PROBE_IMPL", "") or "pandas"
     if impl == "jvm":
         tagged = probe_jvm(candidates, seen_bloom, url_col, num_buckets)
     elif impl == "pandas":
@@ -311,22 +308,35 @@ def _bloom_words(bloom_col):
     words (word w holds bytes 8w..8w+7, byte b contributes bits
     8b..8b+7), so bit i of the FILTER is bit (i % 64) of word
     (i // 64) — matching the numpy kernel's byte/bit layout
-    (byte = pos >> 3, mask = 1 << (pos & 7))."""
-    n_words = F.ceil(F.octet_length(bloom_col) / 8).cast("int")
+    (byte = pos >> 3, mask = 1 << (pos & 7)).
 
-    def word(w):
-        # 8 bytes, little-endian; substring is 1-based on binary
-        def byte_at(j):
-            # hex of the single byte → int; missing tail bytes → 0
-            b = F.substring(bloom_col, w * 8 + j + 1, 1)
-            return F.coalesce(
-                F.conv(F.hex(b), 16, 10).cast("bigint"), F.lit(0))
-        out = F.lit(0).cast("bigint")
-        for j in range(8):
-            out = out + F.shiftleft(byte_at(j), 8 * j)
-        return out
+    One Arrow-batched numpy pass over the BLOOM relation (one row
+    per bucket — 64..4096 rows, trivially small). A first cut did
+    this as a Catalyst higher-order transform with 8 substring/hex/
+    conv per word: HOF lambdas run INTERPRETED, and 2M-bit buckets
+    took 180 s to expand — the pandas_udf does the same in
+    milliseconds. The expansion sits on the tiny BROADCAST side of
+    the probe join; the 10^10-row candidate side stays whole-stage
+    codegen either way."""
+    @pandas_udf("array<bigint>")
+    def words(blobs: pd.Series) -> pd.Series:
+        out = []
+        for blob in blobs:
+            if blob is None:
+                out.append(None)
+                continue
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            pad = (-len(arr)) % 8
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros(pad, dtype=np.uint8)])
+            # little-endian u64 view; astype int64 keeps the BIT
+            # pattern (two's-complement wrap), which is what getbit
+            # reads
+            out.append(arr.view("<u8").astype(np.int64).tolist())
+        return pd.Series(out)
 
-    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    return words(bloom_col)
 
 
 def probe_jvm(candidates: DataFrame, seen_bloom: DataFrame,
@@ -334,29 +344,33 @@ def probe_jvm(candidates: DataFrame, seen_bloom: DataFrame,
               num_buckets: int = DEFAULT_NUM_BUCKETS,
               k: int = DEFAULT_K) -> DataFrame:
     """Pure-JVM bloom membership test — same contract as
-    :func:`probe` (differential-tested bit-identical), but the
-    per-candidate hot path is whole-stage codegen: at 10^10
-    candidates/round the pandas probe ships every candidate row
-    through Arrow to Python workers; here candidates never leave the
-    JVM. The bloom relation (one row per bucket) is expanded to
-    array<bigint> words once and BROADCAST — 10 bits/key at 200k
-    keys/bucket is ~250 KB/bucket, i.e. a few MB total at the local
-    default and ~3 MB/bucket at the 4096-bucket/10^10-URL layout
-    (broadcast the needed buckets or fall back to a bucket-keyed
-    shuffle join at extreme widths).
+    :func:`probe` (differential-tested bit-identical): candidates
+    never leave the JVM, for environments without Python workers.
+    NOT the default: measured 4.5× slower than the Arrow-batched
+    numpy probe at 1M candidates because the BroadcastHashJoin
+    materializes each bucket's ~250 KB word array into every joined
+    candidate row — the vectorized cogroup kernel touches each
+    filter once per BATCH instead. Kept as the documented
+    alternative + second differential witness for the position
+    arithmetic.
 
     Unsigned-arithmetic note: the numpy kernel computes positions as
     ``(h1u + i·h2u) mod 2^64`` (uint64 WRAPPING add/multiply) and
     only then ``mod m_bits`` — reduced-space modular math is NOT
     equivalent when m does not divide 2^64 (a power-of-two test
     filter hid exactly that; the default 2,000,000-bit filter
-    exposed it). The JVM twin therefore reproduces the wrap
-    verbatim in DECIMAL(38,0): widen the two's-complement longs to
-    their uint64 values, take the exact sum ``h1u + i·h2u``
-    (< 7·2^64, far inside decimal38), wrap ``pmod 2^64``, then
-    ``pmod m`` — all whole-stage codegen. Bit extraction uses
-    ``getbit`` (column-position bit test over the long's two's-
-    complement bits — exactly the stored layout).
+    exposed it). ANSI mode forbids overflowing long ``+``/``*``, and
+    DECIMAL(38) reproduces the wrap but drags BigDecimal into the
+    hot loop (measured 7× slower than the pandas probe) — so the
+    wrap is done in 32-bit LIMBS with pure bit ops: split each
+    uint64 into (hi, lo) halves via shiftrightunsigned/mask, multiply
+    and add limbs (every intermediate < 2^36), carry with shifts,
+    and reassemble with ``shiftleft | low32`` (bit shifts wrap
+    silently; OR never carries because the low 32 bits of the
+    shifted half are zero). Final unsigned ``mod m`` adds the
+    plan-time constant ``2^64 mod m`` for negative-wrapped values.
+    Bit extraction uses ``getbit`` (column-position bit test over
+    the long's two's-complement bits — exactly the stored layout).
     """
     cand = with_hash_cols(candidates, url_col, num_buckets)
     blooms = seen_bloom.select(
@@ -364,20 +378,35 @@ def probe_jvm(candidates: DataFrame, seen_bloom: DataFrame,
         (F.octet_length("bloom") * 8).alias("_m_bits"))
 
     joined = cand.join(F.broadcast(blooms), "bucket", "left")
-    dec = "decimal(38,0)"
-    two64 = F.lit("18446744073709551616").cast(dec)  # 2^64
-    m = F.col("_m_bits").cast(dec)
+    m = F.col("_m_bits").cast("bigint")
+    low32 = F.lit(0xFFFFFFFF).cast("bigint")
+    two32 = F.lit(1 << 32).cast("bigint")
+    # 2^64 mod m from 2^62 (representable): ((2^62 mod m) * 4) mod m
+    wrap64 = F.pmod(F.pmod(F.lit(1 << 62).cast("bigint"), m) * 4, m)
 
-    def u64(s):
-        wide = s.cast(dec)
-        return F.when(s < 0, wide + two64).otherwise(wide)
+    def split(x):
+        return F.shiftrightunsigned(x, 32), x.bitwiseAND(low32)
 
-    h1u = u64(F.col("h1"))
-    h2u = u64(F.expr("h2 | 1"))
+    h1 = F.col("h1")
+    h2p = F.expr("h2 | 1")
+    h1_hi, h1_lo = split(h1)
+    h2_hi, h2_lo = split(h2p)
     bits = []
     for i in range(k):
-        wrapped = F.pmod(h1u + F.lit(i).cast(dec) * h2u, two64)
-        pos = F.pmod(wrapped, m).cast("bigint")
+        # i·h2' mod 2^64 in limbs (i ≤ k-1 ≤ 6 keeps products < 2^36)
+        ilo = F.lit(i) * h2_lo
+        ihi = F.pmod(F.lit(i) * h2_hi
+                     + F.shiftrightunsigned(ilo, 32), two32)
+        # wrapped sum h1 + i·h2' mod 2^64, again limb-wise
+        s_lo = h1_lo + ilo.bitwiseAND(low32)
+        s_hi = F.pmod(h1_hi + ihi
+                      + F.shiftrightunsigned(s_lo, 32), two32)
+        wrapped = F.shiftleft(s_hi, 32) \
+            .bitwiseOR(s_lo.bitwiseAND(low32))
+        # unsigned mod m of the two's-complement-wrapped long
+        pos = F.pmod(F.pmod(wrapped, m)
+                     + F.when(wrapped < 0, wrap64)
+                     .otherwise(F.lit(0)), m)
         word = F.element_at(F.col("_words"),
                             F.floor(pos / 64).cast("int") + 1)
         bits.append(F.getbit(word, F.pmod(pos, 64)) == 1)

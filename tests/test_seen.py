@@ -109,9 +109,10 @@ def test_probe_jvm_empty_bloom(spark):
     assert rows[0].maybe_seen is False
 
 
-def test_probe_jvm_plan_is_python_free(spark):
-    """The candidate hot path must be whole-stage codegen: no
-    ArrowEvalPython / FlatMapCoGroupsInPandas on the probe side."""
+def test_probe_jvm_plan_is_python_free_on_candidates(spark):
+    """The CANDIDATE hot path must be whole-stage codegen — Python
+    appears only on the tiny broadcast (bloom) side: word expansion
+    is an Arrow pass over one row per bucket."""
     from frontier.spark import seen as seenmod
 
     urls = spark.createDataFrame([("https://a/1",)], "url_canon string")
@@ -120,12 +121,12 @@ def test_probe_jvm_plan_is_python_free(spark):
                                   "url_canon string")
     out = seenmod.probe_jvm(cands, bloom, num_buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the bloom BUILD side is pandas (one row per bucket — fine);
-    # assert the probe join itself is a broadcast with no Python
-    # eval above it
-    head = plan.split("FlatMapGroupsInPandas")[0]
     assert "BroadcastHashJoin" in plan
-    assert "ArrowEvalPython" not in head
+    # everything above the BroadcastExchange is the stream
+    # (candidate) side — it must carry no Python eval
+    stream_side = plan.split("BroadcastExchange")[0]
+    assert "ArrowEvalPython" not in stream_side
+    assert "FlatMapCoGroupsInPandas" not in plan  # that's probe()'s shape
 
 
 def test_filter_unseen_impls_identical(spark):
