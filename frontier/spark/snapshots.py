@@ -236,6 +236,59 @@ class SnapshotStore:
                 shutil.rmtree(p, ignore_errors=True)
         return out
 
+    def rewrite_append_table(self, spark: SparkSession,
+                             table: str) -> int | None:
+        """Iceberg ``rewrite_data_files`` analog for APPEND tables:
+        merge the delta-directory chain into ONE directory and commit
+        a NEW snapshot referencing only it (every other table carried
+        over from the parent by reference, metrics tagged). Without
+        periodic rewrites a 10^4-round crawl's seen set is a
+        10^4-directory union — every read pays the listing fan-out.
+        After the rewrite, `expire` reclaims the old deltas once no
+        live manifest references them. Returns the new snapshot id,
+        or None if the table is absent/already a single directory.
+        """
+        man = self.manifest()
+        if man is None or table not in man["tables"]:
+            return None
+        entry = man["tables"][table]
+        if not isinstance(entry, list) or len(entry) <= 1:
+            return None
+        snap_id = self.latest_id() + 1
+        path = os.path.join(self.root, "data", f"snap-{snap_id}",
+                            f"{table}-rewrite")
+        spark.read.parquet(*entry).write.mode("overwrite").parquet(path)
+        import pyarrow.parquet as pq
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet"))
+        per_file = {
+            f: pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in files}
+        tables_out = dict(man["tables"])
+        tables_out[table] = [path]
+        lineage = dict(man["lineage"])
+        lineage[table] = {
+            "n_files": len(files), "files": files,
+            "file_rows": per_file,
+            "n_rows": sum(per_file.values()),
+            "delta_rows": 0,
+            "rewritten_from": len(entry),
+        }
+        manifest = {
+            "snapshot_id": snap_id,
+            "parent_id": man["snapshot_id"],
+            "tables": tables_out,
+            "lineage": lineage,
+            "metrics": {**man.get("metrics", {}),
+                        "rewrite_of": table},
+            "wall_ts": time.time(),
+        }
+        tmp = self._manifest_path(snap_id) + ".tmp"
+        with open(tmp, "w") as handle:
+            json.dump(manifest, handle, indent=2)
+        os.replace(tmp, self._manifest_path(snap_id))
+        return snap_id
+
     def expire(self, keep_last: int) -> list[int]:
         """Iceberg-style snapshot expiration: drop the manifests and
         UNREFERENCED data directories of all but the newest

@@ -98,6 +98,11 @@ def main():
     elapsed = time.perf_counter() - t0
     if args.compact_expire > 0:
         compacted = store.compact_results(spark)
+        # collapse the append-table delta chains so expire can
+        # reclaim their per-round directories (Iceberg
+        # rewrite_data_files + expire_snapshots maintenance pair)
+        store.rewrite_append_table(spark, "seen_exact")
+        store.rewrite_append_table(spark, "blocked")
         store.expire(keep_last=args.compact_expire)
         n_texts = spark.read.parquet(compacted).count() \
             if compacted else 0

@@ -125,3 +125,41 @@ def test_expire_keeps_referenced_append_deltas(spark, tmp_path):
     # but their referenced seen deltas survive
     assert _os.path.exists(
         _os.path.join(store.root, "data", "snap-0", "seen"))
+
+
+def test_rewrite_append_table(spark, tmp_path):
+    """rewrite_data_files analog: the delta chain collapses to one
+    directory in a NEW snapshot; rows and cumulative counts are
+    unchanged; expire can then reclaim the old deltas; subsequent
+    appends chain from the rewritten base."""
+    store = SnapshotStore(str(tmp_path / "rw_store"))
+    for rnd in range(3):
+        delta = spark.createDataFrame(
+            [(f"u{rnd}-{i}",) for i in range(4)], "url_canon string")
+        store.commit({"seen": delta}, {"round": rnd}, append={"seen"})
+
+    sid = store.rewrite_append_table(spark, "seen")
+    assert sid == 3
+    man = store.manifest()
+    assert len(man["tables"]["seen"]) == 1
+    assert man["lineage"]["seen"]["n_rows"] == 12
+    got = {r.url_canon for r in store.read(spark, "seen").collect()}
+    assert got == {f"u{r}-{i}" for r in range(3) for i in range(4)}
+    # idempotent no-op on a single-directory table
+    assert store.rewrite_append_table(spark, "seen") is None
+
+    # appends continue from the rewritten base
+    store.commit({"seen": spark.createDataFrame(
+        [("u-new",)], "url_canon string")}, {"round": 3},
+        append={"seen"})
+    man2 = store.manifest()
+    assert len(man2["tables"]["seen"]) == 2
+    assert man2["lineage"]["seen"]["n_rows"] == 13
+
+    # expire drops the pre-rewrite deltas (no live manifest refs them)
+    import os as _os
+    store.expire(keep_last=2)
+    assert not _os.path.exists(
+        _os.path.join(store.root, "data", "snap-0", "seen"))
+    got2 = {r.url_canon for r in store.read(spark, "seen").collect()}
+    assert got2 == got | {"u-new"}
