@@ -145,7 +145,17 @@ def range_join_count(left: DataFrame, right: DataFrame,
     # factor) and NULL-bearing rows still join back. Also slimmer at
     # scale — only (keys, _lid, _lus) ride the explode+shuffle, never
     # the left payload.
-    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    #
+    # The LAZY localCheckpoint is load-bearing, not an optimization:
+    # `lid` feeds BOTH join branches, and Spark computes each branch
+    # independently (no cross-branch subplan reuse) — if `left` sits
+    # on a shuffle, row order within a shuffle-read partition is not
+    # deterministic, so two independent mono-id computations could
+    # tag the SAME row with DIFFERENT ids and silently corrupt the
+    # join-back. The checkpoint materializes the id assignment once;
+    # both branches read the same stored rows.
+    lid = left.withColumn("_lid", F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=False)
     lb = (lid
           .select(*keys, "_lid", lus.alias("_lus"))
           .withColumn("_b", F.explode(F.sequence(
