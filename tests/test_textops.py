@@ -591,3 +591,37 @@ def test_html_clean_no_shuffle(spark):
         [(0, "<p>x</p>")], "doc_id long, html string")
     plan = _plan(textops.html_clean(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_curate_job_matches_training_mix_capstone(spark, tmp_path):
+    """jobs/curate.py composes the curation gates into one plan; on
+    the sf0.01 documents table its selection must equal the oracled
+    training_mix capstone's 308/500 (same gates; the paragraph gate
+    is non-binding on this corpus)."""
+    import json
+    import sys
+    from unittest import mock
+
+    import jobs.curate as curate
+
+    out = str(tmp_path / "curated")
+    argv = ["curate.py", "--sf-dir", "/root/testdata/sf0.01",
+            "--out", out]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda s: printed.append(s)), \
+            mock.patch.object(curate, "get_spark", lambda **kw: spark,
+                              create=True):
+        # get_spark is imported inside main(); patch the session
+        # factory so the job reuses the test session (spark.stop()
+        # would kill the shared fixture otherwise)
+        with mock.patch("frontier.spark.session.get_spark",
+                        lambda **kw: spark):
+            with mock.patch.object(spark, "stop", lambda: None):
+                curate.main()
+    stats = json.loads(printed[-1])
+    assert stats["n_docs"] == 500
+    assert stats["n_selected"] == 308  # == training_mix oracle rows
+    assert stats["q_gopher"] == 429 and stats["q_lm"] == 367
+    assert spark.read.parquet(out).count() == 308
