@@ -80,11 +80,14 @@ Measured: 8M-page 2-round crawl 89.5 s → ~43 s at 32-wide (jvm canon).
 from __future__ import annotations
 
 import math
+import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import schedule as sched
 from . import seen as seenmod
+from . import session
 from .parse import page_index_arrow
 from .snapshots import SnapshotStore
 
@@ -206,15 +209,17 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
 
     for round_no in range(start_round, max_rounds):
         # Round state is materialized via LAZY localCheckpoint (see
-        # _ckpt): every block cached during the round is released in
-        # the finally below by diffing the persistent-RDD registry —
-        # an exception mid-round (fetch failure, commit error) must
-        # not leak cached partitions into the next round / the rest
-        # of the session (round-2 ADVICE; localCheckpoint blocks
-        # otherwise free only on driver GC, the measured 83→162 s
-        # in-session degradation).
-        jsc = spark.sparkContext._jsc
-        cached_before = set(jsc.getPersistentRDDs().keySet())
+        # _ckpt): every block _ckpt cached — including seed-time gate
+        # state consumed by round 0 — is released in the finally below
+        # by draining the crawl-private _CKPT_LIVE list. An exception
+        # mid-round (fetch failure, commit error) must not leak cached
+        # partitions into the next round / the rest of the session
+        # (round-2 ADVICE; localCheckpoint blocks otherwise free only
+        # on driver GC, the measured 83→162 s in-session
+        # degradation). Tracking our own checkpoints — rather than
+        # diffing the session-global persistent-RDD registry — leaves
+        # caches built by concurrent jobs in the same SparkSession
+        # untouched (r4 ADVICE).
         try:
             stop = _crawl_round(
                 spark, round_no, frontier, robots, page_index, store,
@@ -223,10 +228,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                 blocked_pending, fetch_mode, broadcast_fetch_max,
                 target_fpp)
         finally:
-            jmap = jsc.getPersistentRDDs()
-            for rid in list(jmap.keySet()):
-                if rid not in cached_before:
-                    jmap.get(rid).unpersist(False)
+            _release_ckpts()
         if stop:
             break
 
@@ -245,6 +247,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         blocked_pending = spark.createDataFrame([], "url_canon string")
         have_bloom = True
 
+    _release_ckpts()  # zero-round call: free the seed-gate checkpoint
     return store.manifest() or {}
 
 
@@ -258,9 +261,43 @@ def _ckpt(df: DataFrame) -> DataFrame:
     running). A lazily-checkpointed Dataset's plan is a shallow
     LogicalRDD immediately, so every downstream construction is
     O(shallow); blocks cache identically on first action (concurrent
-    first actions dedup via BlockManager get-or-compute). The caller
-    releases the blocks by persistent-RDD-registry diff."""
-    return df.localCheckpoint(eager=False)
+    first actions dedup via BlockManager get-or-compute).
+
+    Every checkpointed Dataset is recorded in the crawl-private
+    ``_CKPT_LIVE`` list; :func:`_release_ckpts` frees exactly those
+    blocks (r4 ADVICE: a registry-wide diff would also drop caches a
+    CONCURRENT job built in the same SparkSession, and it missed the
+    seed-time gate checkpoint created before the round's diff
+    baseline).
+
+    Blocks are non-replicated MEMORY_AND_DISK by default — on one JVM
+    (this sandbox) loss means driver death anyway. On a cluster,
+    executor loss mid-round would fail the commit instead of
+    recomputing (truncated lineage), so FRONTIER_CKPT_REPLICATED=1
+    switches to MEMORY_AND_DISK_2: every block lives on two
+    executors and a single loss no longer kills the round (see the
+    commit-site note in snapshots.py)."""
+    level = (StorageLevel.MEMORY_AND_DISK_2
+             if os.environ.get("FRONTIER_CKPT_REPLICATED") else None)
+    out = df.localCheckpoint(eager=False, storageLevel=level)
+    _CKPT_LIVE.append(session.checkpoint_rdd(out))
+    return out
+
+
+_CKPT_LIVE: list = []  # java RDD handles (session.checkpoint_rdd)
+
+
+def _release_ckpts() -> None:
+    """Unpersist every RDD ``_ckpt`` persisted since the last
+    release. Called once per crawl round (and at crawl exit): by then
+    the round's state lives in the committed snapshot, so no live
+    plan references the truncated-lineage blocks any more."""
+    while _CKPT_LIVE:
+        jrdd = _CKPT_LIVE.pop()
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass  # session teardown race — blocks die with the context
 
 
 def _crawl_round(spark, round_no, frontier, robots, page_index, store,
@@ -397,8 +434,13 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     # unmaterialized shape recomputed the whole chain, 19 s + 13 s
     # at sf0.001).
     if robots is not None:
-        gated = _ckpt(sched.apply_robots(sched.with_host(fresh),
-                                         robots))
+        # staged offers checkpoint FIRST: the pruned robots gate
+        # (round-5) reads the frontier subtree twice — once for the
+        # batch's distinct hosts that prune the robots relation, once
+        # for the gate join — and without this barrier both reads
+        # would recompute the whole discovery chain above.
+        staged = _ckpt(sched.with_host(fresh))
+        gated = _ckpt(sched.apply_robots(staged, robots))
         fresh = gated.where(F.col("robots_allowed")) \
             .select(*FRONTIER_COLS)
         newly_blocked = gated.where(~F.col("robots_allowed")) \
@@ -474,7 +516,9 @@ def _gate_frontier(offers: DataFrame,
     (allowed, blocked url_canon) under the broadcast robots gate.
     Applied once per URL — at seed time and at discovery time — so
     frontier rows carry the invariant "robots-allowed"."""
-    gated = sched.apply_robots(sched.with_host(offers), robots)
+    # barrier before the pruned gate (see _crawl_round): the gate
+    # reads its input twice (host-distinct prune + join)
+    gated = sched.apply_robots(_ckpt(sched.with_host(offers)), robots)
     allowed = gated.where(F.col("robots_allowed")) \
         .select(*FRONTIER_COLS)
     newly_blocked = gated.where(~F.col("robots_allowed")) \
@@ -507,8 +551,6 @@ def commit_parse_errors(store: SnapshotStore,
     Written to a SIDECAR store under ``<root>/parse_errors`` so crawl
     snapshot ids stay 1:1 with rounds (resume + time-travel reads are
     keyed on that). Returns the malformed-page count."""
-    import os
-
     sidecar = SnapshotStore(os.path.join(store.root, "parse_errors"))
     errors = page_index.where(F.col("parse_error").isNotNull()) \
         .select("url", "parse_error")

@@ -11,6 +11,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from . import session
+
+_CKPT_LIVE: list = []  # java RDD handles (session.checkpoint_rdd)
+
+
+def release_checkpoints() -> None:
+    """Free the lazily-localCheckpointed blocks accumulated by
+    :func:`range_join_count`. Call AFTER every returned DataFrame has
+    been fully consumed (collected/written): the checkpoints truncate
+    lineage, so an unconsumed result cannot recompute its input once
+    the blocks are gone. Long sessions that call range_join_count
+    repeatedly must release between calls or the cached left
+    relations accumulate until driver GC (measured ~2× in-session
+    degradation — r4 ADVICE)."""
+    while _CKPT_LIVE:
+        jrdd = _CKPT_LIVE.pop()
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass  # session teardown race
+
 
 def sessionize(events: DataFrame, gap_seconds: int = 60,
                key_col: str = "user_id", ts_col: str = "ts",
@@ -156,6 +177,12 @@ def range_join_count(left: DataFrame, right: DataFrame,
     # both branches read the same stored rows.
     lid = left.withColumn("_lid", F.monotonically_increasing_id()) \
         .localCheckpoint(eager=False)
+    # track for release_checkpoints(): the RESULT's lineage is
+    # truncated at this checkpoint, so the blocks cannot be freed
+    # here — they accumulate over a long session (measured ~2×
+    # degradation) unless the caller frees them once the result is
+    # consumed (r4 ADVICE).
+    _CKPT_LIVE.append(session.checkpoint_rdd(lid))
     lb = (lid
           .select(*keys, "_lid", lus.alias("_lus"))
           .withColumn("_b", F.explode(F.sequence(

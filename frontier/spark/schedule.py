@@ -260,14 +260,34 @@ def robots_allowed_expr(path, rules):
             .otherwise(best.getField("allow")))
 
 
-def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots(frontier: DataFrame, robots: DataFrame,
+                 prune: bool = True) -> DataFrame:
     """Gate the frontier on per-host robots rules.
 
-    ``robots(host, rules array<struct>, crawl_delay_ms)`` is tiny
-    relative to the frontier (one row per host) → broadcast left
-    join, then the RFC 9309 allow predicate evaluated entirely
-    JVM-side against the URL path (:func:`robots_allowed_expr`).
+    ``robots(host, rules array<struct>, crawl_delay_ms)`` is one row
+    per host *ever seen* — at crawl scale (10⁷-10⁸ hosts, each with a
+    rule array) that relation is GBs and must never be broadcast
+    whole. The gated side, by contrast, is a single round's fresh
+    offers (entry-gating), so its DISTINCT host set is bounded by
+    hosts-per-round. ``prune=True`` (default) therefore broadcasts
+    the batch's host set into a semi-join that cuts robots down to
+    exactly the hosts this batch touches, and only THAT bounded
+    relation is broadcast into the gate join. Both broadcasts are
+    O(hosts-per-round); the full robots table is only ever scanned,
+    never shuffled or broadcast.
+
+    The frontier subtree is read twice under pruning (host-distinct +
+    gate join) — callers on an expensive discovery chain should
+    materialize it first (crawl.py checkpoints the staged offers).
+
+    The allow predicate itself (:func:`robots_allowed_expr`) is
+    evaluated entirely JVM-side against the URL path. Pruning cannot
+    change the result: a robots row whose host is absent from the
+    batch never matches the left join anyway.
     """
+    if prune:
+        hosts = frontier.select("host").distinct()
+        robots = robots.join(F.broadcast(hosts), "host", "left_semi")
     gated = (frontier
              .join(F.broadcast(robots), "host", "left")
              .withColumn("path",

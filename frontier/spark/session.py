@@ -60,3 +60,16 @@ def get_spark(app: str = "frontier",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def checkpoint_rdd(df):
+    """The java RDD that ``df.localCheckpoint(...)`` persisted.
+
+    ``DataFrame.unpersist()`` only uncaches CacheManager entries
+    (``persist()``); a localCheckpoint persists the query's INTERNAL
+    RDD directly, so freeing its blocks needs the RDD handle — the
+    checkpointed plan is a ``LogicalRDD`` wrapping exactly that RDD.
+    Callers hold this handle and ``.unpersist(False)`` it once every
+    downstream consumer is done (the lineage is truncated: blocks
+    gone = result unrecomputable)."""
+    return df._jdf.queryExecution().analyzed().rdd()

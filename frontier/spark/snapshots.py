@@ -133,6 +133,17 @@ class SnapshotStore:
         # (BlockManager get-or-compute dedups per-partition cache
         # materialization). Any write failure propagates before the
         # manifest exists → the snapshot stays invisible, as before.
+        #
+        # SINGLE-NODE ASSUMPTION (r4 ADVICE): round state reaches
+        # these writes as non-replicated lazy-localCheckpoint blocks,
+        # which are unrecoverable if evicted or lost mid-write — on
+        # one JVM that means hard failure only under driver OOM. On a
+        # CLUSTER, executor loss mid-commit would fail the round
+        # instead of recomputing; set FRONTIER_CKPT_REPLICATED=1 so
+        # _ckpt stores MEMORY_AND_DISK_2 (2-replica) blocks, trading
+        # one extra copy per block for commit survival of a single
+        # executor loss (reliable HDFS checkpoints remain the
+        # belt-and-braces option for very long crawls).
         with ThreadPoolExecutor(max_workers=max(1, len(tables))) as pool:
             for name, path, line in pool.map(write_one, tables.items()):
                 if name in append:

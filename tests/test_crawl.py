@@ -258,16 +258,26 @@ def test_politeness_crawl_delay_budget(spark):
 
 
 def test_crawl_releases_cached_blocks(spark, corpus, tmp_path):
-    """Round-4 regression: the loop's lazy-localCheckpoint state must
-    be freed per round via the persistent-RDD registry diff —
-    lingering blocks degrade long sessions 2× (ContextCleaner frees
-    them only on driver GC)."""
+    """Round-4 regression: every lazy-localCheckpoint the loop makes
+    (INCLUDING the seed-time robots-gate checkpoint created before
+    round 0) must be freed by crawl exit — lingering blocks degrade
+    long sessions 2× (ContextCleaner frees them only on driver GC).
+    And the release must be scoped to crawl's OWN checkpoints: a
+    cache built by a concurrent job in the same SparkSession must
+    survive (r4 ADVICE — the registry-wide diff dropped it)."""
     _, page_index, seeds, robots = corpus
     jsc = spark.sparkContext._jsc
     before = set(jsc.getPersistentRDDs().keySet())
+    # a "concurrent job's" cache, alive across the crawl
+    bystander = spark.range(100).persist()
+    bystander.count()
     store = SnapshotStore(str(tmp_path / "leak_check"))
     crawl.crawl(spark, page_index, seeds, robots, store,
                 budget_per_host=BUDGET, max_rounds=2, num_buckets=8)
+    assert bystander.storageLevel.useMemory, \
+        "crawl cleanup dropped a concurrent job's cache"
+    assert bystander.count() == 100
+    bystander.unpersist(True)
     after = set(jsc.getPersistentRDDs().keySet())
     leaked = after - before
     assert not leaked, f"crawl leaked cached RDDs: {leaked}"

@@ -177,3 +177,31 @@ def test_asof_join_raises_on_payload_collision(spark):
     r2 = right.withColumnRenamed("v", "rv")
     with pytest.raises(ValueError, match="internal tags"):
         eventops.asof_join(l2, r2, ["user_id"])
+
+
+def test_range_join_release_checkpoints(spark):
+    """range_join_count's lazy localCheckpoints accumulate across
+    calls (its result's lineage depends on them, so it cannot free
+    them itself); release_checkpoints() must free exactly those
+    blocks once results are consumed — and leave other caches alone
+    (r4 ADVICE)."""
+    from frontier.spark import eventops
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet())
+    bystander = spark.range(50).persist()
+    bystander.count()
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00")] * 3, "user_id string, ts string")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:10")], "user_id string, ts string")
+    for _ in range(2):  # repeated calls, as in a long session
+        out = eventops.range_join_count(left, right, ["user_id"])
+        assert [r.n_in_range for r in out.collect()] == [1, 1, 1]
+    eventops.release_checkpoints()
+
+    assert bystander.count() == 50 and bystander.storageLevel.useMemory
+    bystander.unpersist(True)
+    leaked = set(jsc.getPersistentRDDs().keySet()) - before
+    assert not leaked, f"range_join_count leaked: {leaked}"

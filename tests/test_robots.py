@@ -282,3 +282,40 @@ def test_spark_gate_sees_query(spark):
     assert got["http://h.co/q?x=1"] is False
     assert got["http://h.co/q"] is True
     assert got["http://h.co/"] is True
+
+
+def test_gate_broadcast_is_pruned(spark):
+    """Scale invariant (r4 VERDICT item 1): apply_robots must never
+    broadcast the full robots relation — one row per host EVER SEEN,
+    GBs at 10^8 hosts. The plan must (a) semi-join robots down to the
+    batch's bounded host set with the HOSTS side broadcast, then (b)
+    broadcast only that pruned relation into the left-outer gate."""
+    from frontier import synth
+    from frontier.spark import schedule
+
+    robots_df = synth.robots_df(spark, num_hosts=200)
+    urls = spark.createDataFrame(
+        [(f"https://host{h:04d}.example/d{h % 7:02d}/p.html",)
+         for h in range(20)], "url string")
+    staged = schedule.with_host(schedule.with_url_canon(urls))
+
+    gated = schedule.apply_robots(staged, robots_df)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    # the prune: a broadcast LeftSemi on host (hosts side broadcast)
+    assert "LeftSemi" in plan, plan
+    # the gate: a broadcast left-outer on host exists above it
+    assert "LeftOuter" in plan, plan
+    # tree order: the outer gate join prints ABOVE the semi-join,
+    # i.e. the pruned (semi-joined) relation is what gets broadcast
+    # into the gate — the robots scan never feeds a BroadcastExchange
+    # directly
+    assert plan.index("LeftOuter") < plan.index("LeftSemi"), plan
+
+    # prune=False keeps the legacy single-broadcast shape (used by
+    # bounded-robots callers) and both gates agree row-for-row
+    legacy = schedule.apply_robots(staged, robots_df, prune=False)
+    lplan = legacy._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in lplan
+    a = {r.url_canon: r.robots_allowed for r in gated.collect()}
+    b = {r.url_canon: r.robots_allowed for r in legacy.collect()}
+    assert a == b and len(a) == 20
