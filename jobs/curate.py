@@ -16,9 +16,22 @@ into ONE Spark plan — flags are columns, not separate passes):
 4. paragraph-level dedup pressure (``paragraph_dedup`` — documents
    whose duplicated-paragraph fraction exceeds ``--max-dup-para``
    are dropped, Lee et al. 2022);
-5. benchmark decontamination (``decontam_overlap`` vs the eval
-   slice — zero 8-gram overlap required);
-6. unigram-LM quality floor (``unigram_logprob`` ≥ ``--min-lp``).
+5. FUZZY dedup (Lee et al. 2022's NearDup stage): MinHash
+   signatures → LSH banding candidate pairs → exact n-gram-Jaccard
+   verification at ``--min-jaccard`` → connected components
+   (``dedup_clusters``) → keep only each cluster's min-doc_id
+   representative. Candidates come from a bounded (band, key)
+   equi-join — never all-pairs — and the CC step is the one
+   deliberately-iterative stage (O(log d) star rounds, each
+   checkpointed); its small (doc_id, cluster_id) result joins back
+   into the single selection plan;
+6. benchmark decontamination (``decontam_overlap`` — zero 8-gram
+   overlap required) against ``--eval-dir`` (a held-out benchmark
+   parquet with a ``text`` column) or, when absent, a deterministic
+   self-slice (doc_id % 97 == 0; those docs self-overlap and are
+   dropped — fine as the oracle-pinned demo, and the emitted JSON
+   says which source was used);
+7. unigram-LM quality floor (``unigram_logprob`` ≥ ``--min-lp``).
 
 Writes the curated ``(doc_id, text, lang)`` parquet and prints one
 JSON line with per-gate survivor counts (computed from ONE
@@ -36,6 +49,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def build_flags(docs, *, max_dup_para: float = 0.5,
+                min_jaccard: float = 0.8, min_lp: int = -3_405_000,
+                eval_docs=None):
+    """The curation gates as boolean columns over ``docs`` — the
+    job's whole selection logic, importable for tests.
+
+    Returns ``(flagged, flag_cols)``: ``flagged`` is docs plus one
+    boolean per gate (all joined into ONE plan); the caller filters
+    on every flag to select.
+
+    ``eval_docs``: held-out benchmark relation (text column) for the
+    decontamination gate; None falls back to the deterministic
+    doc_id % 97 self-slice (those docs self-overlap and are dropped —
+    the oracle-pinned demo behavior).
+    """
+    from pyspark.sql import functions as F
+
+    from frontier.spark import textops
+
+    # fuzzy dedup (the NearDup stage real pipelines run between exact
+    # dedup and decontamination): minhash → LSH banding candidates →
+    # exact Jaccard verify → connected components. dedup_clusters is
+    # deliberately iterative (O(log d) star rounds, driver-paced, each
+    # round checkpointed) — its SMALL (doc_id, cluster_id) output then
+    # joins back into the one selection plan below. Everything bounded:
+    # candidates from a (band, key) equi-join, never all-pairs.
+    sigs = textops.minhash_signatures(docs)
+    cand = textops.lsh_candidate_pairs(sigs)
+    near_pairs = (textops.ngram_jaccard(docs, cand)
+                  .where(F.col("jaccard") >= min_jaccard)
+                  .select("doc_a", "doc_b"))
+    non_reps = (textops.dedup_clusters(near_pairs)
+                .where(F.col("doc_id") != F.col("cluster_id")))
+
+    if eval_docs is None:
+        eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+
+    # each gate is a (doc_id, flag, default-when-absent) relation;
+    # ONE plan joins them. Defaults differ: quality/dedup-rep gates
+    # list the SURVIVORS (absent → drop), the near-dup gate lists the
+    # CASUALTIES (absent → keep — clusters only contain paired docs).
+    gates = [
+        ("q_gopher",
+         textops.gopher_quality(docs)
+         .select("doc_id", F.col("passes_gopher").alias("q_gopher")),
+         False),
+        ("q_exact_rep",
+         textops.exact_dedup(docs)
+         .select("doc_id", F.lit(True).alias("q_exact_rep")),
+         False),
+        ("q_para",
+         textops.paragraph_dedup(docs)
+         .groupBy("doc_id")
+         .agg((F.sum(F.col("is_dup").cast("long"))
+               / F.count("*") <= max_dup_para).alias("q_para")),
+         False),
+        ("q_neardup",
+         non_reps.select("doc_id", F.lit(False).alias("q_neardup")),
+         True),
+        ("q_decontam",
+         textops.decontam_overlap(docs, eval_docs)
+         .select("doc_id", (F.col("n_overlap") == 0)
+                 .alias("q_decontam")),
+         False),
+        ("q_lm",
+         textops.unigram_logprob(docs)
+         .select("doc_id", (F.col("mean_lp_micro") >= min_lp)
+                 .alias("q_lm")),
+         False),
+    ]
+    flagged = docs
+    for name, g, default in gates:
+        flagged = flagged.join(g, "doc_id", "left") \
+            .withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return flagged, [n for n, _, _ in gates]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -49,6 +139,13 @@ def main():
     ap.add_argument("--max-dup-para", type=float, default=0.5,
                     help="drop docs whose duplicated-paragraph "
                          "fraction exceeds this")
+    ap.add_argument("--min-jaccard", type=float, default=0.8,
+                    help="n-gram Jaccard above which an LSH candidate "
+                         "pair counts as a near-duplicate")
+    ap.add_argument("--eval-dir", metavar="PARQUET",
+                    help="held-out benchmark parquet (text column) to "
+                         "decontaminate against; defaults to the "
+                         "deterministic doc_id%%97 self-slice")
     ap.add_argument("--min-lp", type=int, default=-3_405_000,
                     help="unigram mean log-prob floor (micro-nats)")
     ap.add_argument("--cpus", type=int,
@@ -84,35 +181,18 @@ def main():
             docs.withColumnRenamed("text", "html")) \
             .withColumnRenamed("clean_text", "text").drop("html")
 
-    # each gate is a (doc_id, flag) relation; ONE plan joins them
-    gates = [
-        ("q_gopher",
-         textops.gopher_quality(docs)
-         .select("doc_id", F.col("passes_gopher").alias("q_gopher"))),
-        ("q_exact_rep",
-         textops.exact_dedup(docs)
-         .select("doc_id", F.lit(True).alias("q_exact_rep"))),
-        ("q_para",
-         textops.paragraph_dedup(docs)
-         .groupBy("doc_id")
-         .agg((F.sum(F.col("is_dup").cast("long"))
-               / F.count("*") <= args.max_dup_para).alias("q_para"))),
-        ("q_decontam",
-         textops.decontam_overlap(
-             docs, docs.where(F.col("doc_id") % 97 == 0))
-         .select("doc_id", (F.col("n_overlap") == 0)
-                 .alias("q_decontam"))),
-        ("q_lm",
-         textops.unigram_logprob(docs)
-         .select("doc_id", (F.col("mean_lp_micro") >= args.min_lp)
-                 .alias("q_lm"))),
-    ]
-    flagged = docs
-    for name, g in gates:
-        flagged = flagged.join(g, "doc_id", "left") \
-            .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
-
-    flag_cols = [n for n, _ in gates]
+    # eval relation needs only text; a constant doc_id satisfies the
+    # operator's schema (eval grams are exploded+distinct, the id is
+    # never used on that side)
+    eval_docs = (spark.read.parquet(args.eval_dir)
+                 .select(F.lit(0).cast("long").alias("doc_id"), "text")
+                 if args.eval_dir else None)
+    eval_source = "external" if args.eval_dir \
+        else "self_modulo_fallback"
+    flagged, flag_cols = build_flags(
+        docs, max_dup_para=args.max_dup_para,
+        min_jaccard=args.min_jaccard, min_lp=args.min_lp,
+        eval_docs=eval_docs)
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))
@@ -131,6 +211,8 @@ def main():
         "n_docs": agg["n_docs"],
         **{n: agg[n] for n in flag_cols},
         "n_selected": n_out,
+        "eval_source": eval_source,
+        "min_jaccard": args.min_jaccard,
         "wall_sec": round(time.perf_counter() - t0, 2),
     }))
     spark.stop()

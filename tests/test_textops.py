@@ -596,8 +596,12 @@ def test_html_clean_no_shuffle(spark):
 def test_curate_job_matches_training_mix_capstone(spark, tmp_path):
     """jobs/curate.py composes the curation gates into one plan; on
     the sf0.01 documents table its selection must equal the oracled
-    training_mix capstone's 308/500 (same gates; the paragraph gate
-    is non-binding on this corpus)."""
+    training_mix capstone (308/500) MINUS the fuzzy-dedup
+    non-representatives (r4 VERDICT item 4: the NearDup stage now
+    runs between exact dedup and decontamination) — 299/500, with the
+    exact selected set verified against the operators composed
+    independently here. The paragraph gate is non-binding on this
+    corpus; the near-dup gate drops 24 docs."""
     import json
     import sys
     from unittest import mock
@@ -622,6 +626,72 @@ def test_curate_job_matches_training_mix_capstone(spark, tmp_path):
                 curate.main()
     stats = json.loads(printed[-1])
     assert stats["n_docs"] == 500
-    assert stats["n_selected"] == 308  # == training_mix oracle rows
+    assert stats["n_selected"] == 299
     assert stats["q_gopher"] == 429 and stats["q_lm"] == 367
-    assert spark.read.parquet(out).count() == 308
+    assert stats["q_neardup"] == 476  # 24 near-dup casualties
+    assert stats["eval_source"] == "self_modulo_fallback"
+    got_ids = {r.doc_id for r in
+               spark.read.parquet(out).select("doc_id").collect()}
+    assert len(got_ids) == 299
+
+    # equivalence vs the capstone + independently-composed NearDup:
+    # selected == training_mix ∩ cluster representatives
+    import __spark_entry__ as entry
+    tm = {r.doc_id for r in
+          entry.queries()["training_mix"](
+              spark, "/root/testdata/sf0.01")
+          .select("doc_id").collect()}
+    sigs = textops.minhash_signatures(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text", "lang"))
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    pairs = (textops.ngram_jaccard(
+        docs, textops.lsh_candidate_pairs(sigs))
+        .where(F.col("jaccard") >= 0.8).select("doc_a", "doc_b"))
+    non_reps = {r.doc_id for r in
+                textops.dedup_clusters(pairs)
+                .where(F.col("doc_id") != F.col("cluster_id"))
+                .collect()}
+    assert got_ids == tm - non_reps
+
+
+def test_curate_flags_plan_has_no_cartesian(spark):
+    """The composed curate selection (including the near-dup gate's
+    join-back) must never plan an all-pairs product — candidates come
+    from the bounded (band, key) equi-join only."""
+    from jobs.curate import build_flags
+
+    docs = spark.createDataFrame(
+        [(i, f"some tokens about topic {i % 3} repeated here "
+             f"for the gate {i}", "en") for i in range(30)],
+        "doc_id long, text string, lang string")
+    flagged, flag_cols = build_flags(docs)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert set(flag_cols) == {
+        "q_gopher", "q_exact_rep", "q_para", "q_neardup",
+        "q_decontam", "q_lm"}
+
+
+def test_curate_external_eval_dir(spark, tmp_path):
+    """--eval-dir decontaminates against a HELD-OUT parquet instead
+    of the self-slice (r4 ADVICE: the modulo fallback unconditionally
+    drops ~1% of the corpus by self-overlap). With an external eval
+    set that shares no 8-grams, no doc fails decontamination."""
+    from jobs.curate import build_flags
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text", "lang").limit(50)
+    ext = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [("completely disjoint benchmark prose nothing shared "
+          "qqq www eee rrr ttt yyy uuu iii",)], "text string") \
+        .write.parquet(ext)
+    flagged, _ = build_flags(
+        docs, eval_docs=spark.read.parquet(ext).select(
+            F.lit(0).cast("long").alias("doc_id"), "text"))
+    n_clean = flagged.where(F.col("q_decontam")).count()
+    assert n_clean == 50  # nothing self-drops against external eval
