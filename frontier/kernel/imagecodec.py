@@ -314,3 +314,85 @@ def jpeg_sniff(blob: bytes) -> tuple[int, int, bool, bytes]:
             break
         pos += 2 + seglen
     raise ValueError("no SOF marker found")
+
+
+# ---------------------------------------------------------------------------
+# GIF — fixed-offset dimension sniffing + comment-extension walk
+# ---------------------------------------------------------------------------
+
+GIF_SIG = b"GIF"  # full signatures: GIF87a / GIF89a
+
+
+def gif_encode(width: int, height: int, comment: bytes = b"",
+               version: bytes = b"89a") -> bytes:
+    """Minimal GIF: header + logical screen descriptor + optional
+    Comment Extension (0x21 0xFE, 255-byte sub-blocks) + trailer.
+    Like ``jpeg_encode``, a header skeleton carrying real, sniffable
+    dimensions and a comment payload — no LZW image data (the media
+    path needs dimensions and metadata bytes, not pixels)."""
+    if version not in (b"87a", b"89a"):
+        raise ValueError("bad GIF version")
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError("dimensions out of u16 range")
+    out = bytearray(GIF_SIG + version)
+    out += struct.pack("<HH", width, height)  # LE u16 at offsets 6, 8
+    out += b"\x00\x00\x00"  # packed (no GCT), bg index, aspect
+    if comment:
+        if version != b"89a":
+            raise ValueError("comments need GIF89a")
+        out += b"\x21\xfe"
+        for i in range(0, len(comment), 255):
+            chunk = comment[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"  # sub-block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_sniff(blob: bytes) -> tuple[int, int, bytes]:
+    """GIF bytes → (width, height, comment payload). Dimensions are a
+    fixed-offset read (LE u16 at 6 and 8 of the logical screen
+    descriptor — the 10-line sniff every thumbnailer does); the
+    comment comes from walking extension blocks until the first
+    Comment Extension, image descriptor, or trailer. Raises
+    ValueError on malformed input — Spark callers catch and degrade
+    (SURVEY.md §2.8)."""
+    if blob[:3] != GIF_SIG or blob[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF")
+    if len(blob) < 13:
+        raise ValueError("truncated screen descriptor")
+    width, height = struct.unpack_from("<HH", blob, 6)
+    if width == 0 or height == 0:
+        raise ValueError("zero dimension")
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:  # global color table present
+        pos += 3 * (2 << (packed & 0x07))
+    comment = b""
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x2C:  # image descriptor: pixels follow, stop
+            break
+        if b0 != 0x21:
+            raise ValueError("unknown block introducer")
+        if pos + 2 > len(blob):
+            raise ValueError("truncated extension")
+        label = blob[pos + 1]
+        pos += 2
+        sub = bytearray()
+        while True:
+            if pos >= len(blob):
+                raise ValueError("truncated sub-blocks")
+            n = blob[pos]
+            pos += 1
+            if n == 0:
+                break
+            if pos + n > len(blob):
+                raise ValueError("truncated sub-block data")
+            sub += blob[pos:pos + n]
+            pos += n
+        if label == 0xFE and not comment:
+            comment = bytes(sub)
+    return width, height, comment

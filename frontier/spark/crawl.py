@@ -71,10 +71,13 @@ r3 VERDICT item 3 — measured ~15-25 s/round of pure Catalyst work):
   expression with zero effective rewrites (Catalyst rule dump);
 * snapshot table writes run CONCURRENTLY (snapshots.commit) so one
   write's plan compile overlaps another's execution;
-* cached blocks are freed per round by persistent-RDD-registry diff
-  (localCheckpoint blocks otherwise free only on driver GC).
+* cached blocks are freed per round by draining the crawl-private
+  list of checkpointed RDD handles (_CKPT_LIVE; localCheckpoint
+  blocks otherwise free only on driver GC — and a registry-wide
+  diff would drop concurrent jobs' caches, r4 ADVICE).
 
-Measured: 8M-page 2-round crawl 89.5 s → ~43 s at 32-wide (jvm canon).
+Measured: 8M-page 2-round crawl 122.8→76.9 s at 8-wide, 89.5→73.0 s
+at 32-wide (jvm canon; BENCH/scaling_crawl_raw.md).
 """
 
 from __future__ import annotations

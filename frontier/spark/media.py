@@ -68,6 +68,9 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
       AND progressive — no DCT decode needed for width/height);
       feature = 8-phase means over the COM marker payload bytes,
       same (x−128)/128 normalization (empty COM → empty feature);
+    * GIF (round-5) → dimensions from the logical screen descriptor
+      (LE u16 at offsets 6/8, GIF87a and GIF89a); feature = 8-phase
+      means over the Comment Extension payload, same normalization;
     * FRMS (multi-frame container, the video path) → n_frames from
       the container, dimensions/feature from frame 0;
     * WAV → width = total samples, height = channels, feature =
@@ -86,6 +89,12 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
                              for m in _phase_means(pixels)]
         if blob.startswith(codec.JPEG_SIG):
             w, h, _prog, com = codec.jpeg_sniff(blob)
+            return w, h, 1, ([(m - 128) / 128.0
+                              for m in _phase_means(com)] if com else [])
+        if blob.startswith(codec.GIF_SIG):
+            # round-5: fixed-offset dimension sniff + comment-
+            # extension payload, featurized exactly like the JPEG COM
+            w, h, com = codec.gif_sniff(blob)
             return w, h, 1, ([(m - 128) / 128.0
                               for m in _phase_means(com)] if com else [])
         if blob.startswith(codec.FRMS_SIG):

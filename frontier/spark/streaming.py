@@ -188,3 +188,240 @@ def run_available_now(df: DataFrame, out_path: str, checkpoint: str,
              .start())
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Multi-round streaming crawl loop (round-5, r4 VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+OFFER_DDL = "url_canon string, priority int, warc_ts timestamp"
+FRONTIER_STATE_DDL = "pending binary, seen binary"
+SCHED_OUT_DDL = ("host string, url_canon string, priority int, "
+                 "warc_ts timestamp")
+
+
+def _frontier_state_fn(budget_per_host: int):
+    """Per-host frontier as STREAMING STATE: the politeness queue and
+    the seen set live in the state store, keyed by host, so the whole
+    batch-loop seen/bloom/window machinery disappears from the
+    per-round plan. Semantics mirror the batch round exactly:
+
+    * an offer for a url already seen OR already pending is dropped
+      (the batch loop's filter_unseen + leftover anti-join —
+      first-offer-wins);
+    * offers within one trigger min-merge per url by
+      (priority, warc_ts) (the batch discovery groupBy);
+    * each trigger emits the top ``budget_per_host`` pending urls by
+      (priority, warc_ts, url_canon) — politeness_cut's exact order —
+      marks them seen, and keeps the rest pending;
+    * a host with leftover pending work arms a 1 ms processing-time
+      timeout so the NEXT trigger re-invokes it even with no new
+      offers (the batch loop re-ranks leftovers every round); a host
+      with an empty queue sleeps until offered again — better than
+      the batch loop's inherent O(frontier) re-scan per round.
+
+    State is pickled per host. At 10^10 urls the state store shards
+    by host across executors (RocksDB on a real cluster); a hot
+    host's blob rewrite per trigger is the same O(host-frontier)
+    cost the batch loop pays re-sorting that host's rows. (The
+    row-per-url state layout of transformWithState would avoid even
+    that; not yet in pyspark's applyInPandasWithState.)
+    """
+    import pickle
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            pending = pickle.loads(state.get[0])
+            seen = set(pickle.loads(state.get[1]))
+        else:
+            pending, seen = {}, set()
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if rows:
+            allo = pd.concat(rows, ignore_index=True)
+            ts_us = allo["warc_ts"].to_numpy() \
+                .astype("datetime64[us]").astype("int64")
+            cand: dict[str, tuple[int, int]] = {}
+            for url, pr, ts in zip(allo["url_canon"],
+                                   allo["priority"], ts_us):
+                offer = (int(pr), int(ts))
+                if url not in cand or offer < cand[url]:
+                    cand[url] = offer
+            for url, offer in cand.items():
+                if url not in seen and url not in pending:
+                    pending[url] = offer
+        take = sorted(pending.items(),
+                      key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
+        take = take[:budget_per_host]
+        for url, _ in take:
+            del pending[url]
+            seen.add(url)
+        state.update((pickle.dumps(pending),
+                      pickle.dumps(sorted(seen))))
+        if pending:
+            state.setTimeoutDuration(1)  # re-offer leftovers next trigger
+        if take:
+            yield pd.DataFrame({
+                "host": [key[0]] * len(take),
+                "url_canon": [u for u, _ in take],
+                "priority": [o[0] for _, o in take],
+                "warc_ts": pd.to_datetime(
+                    [o[1] for _, o in take], unit="us"),
+            })
+
+    return fn
+
+
+def streaming_crawl(spark: SparkSession, page_index: DataFrame,
+                    seeds: DataFrame, robots: DataFrame | None,
+                    budget_per_host: int, work_dir: str,
+                    max_rounds: int = 5,
+                    trigger_interval: str = "1 second",
+                    poll_sec: float = 0.2) -> dict:
+    """The N-round crawl as ONE long-lived incremental streaming
+    query (r3/r4 VERDICT: the batch loop re-plans every round; here
+    the frontier plan — file source → per-host stateful schedule —
+    is compiled ONCE and micro-batches ride it).
+
+    Dataflow (feedback through the filesystem, the streaming analog
+    of the batch loop's snapshot round-trip):
+
+    1. seed offers land as round-0 parquet in ``offers/``;
+    2. the query schedules each micro-batch via
+       :func:`_frontier_state_fn` (seen set + politeness queue in the
+       state store — no bloom build/merge/probe, no window chain, no
+       per-round seen/frontier table commits);
+    3. ``foreachBatch``: fetch the scheduled urls against the static
+       ``page_index`` (broadcast — page bytes never shuffle), write
+       results parquet for the round, then explode links → canon →
+       robots entry-gate and write the gated discoveries BACK into
+       ``offers/`` — which is what triggers the next round;
+    4. the driver polls round progress and stops the query after
+       ``max_rounds`` rounds or when a round schedules nothing.
+
+    Restart safety: all per-round writes are keyed by batch_id
+    (overwrite-idempotent) and the checkpoint restores source
+    offsets + state, so a killed run resumes mid-crawl.
+
+    Returns {"rounds": n, "scheduled_per_round": {...}}.
+    tests/test_streaming.py proves N-round results identical to
+    ``crawl.crawl(max_rounds=N)``.
+    """
+    import os
+    import time
+
+    from . import crawl as crawlmod
+    from . import schedule as sched
+
+    offers_dir = os.path.join(work_dir, "offers")
+    results_dir = os.path.join(work_dir, "results")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    os.makedirs(offers_dir, exist_ok=True)
+
+    seeded_marker = os.path.join(work_dir, "_seeded")
+    if not os.path.exists(seeded_marker):
+        frontier = crawlmod._seed_frontier(seeds)
+        if robots is not None:
+            frontier, _blocked = crawlmod._gate_frontier(frontier, robots)
+        frontier.select("url_canon", "priority", "warc_ts") \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(offers_dir, "round_00000"))
+        crawlmod._release_ckpts()
+        open(seeded_marker, "w").close()
+
+    progress: dict[int, int] = {}
+
+    def fetch_and_discover(sched_df: DataFrame, batch_id: int):
+        if batch_id >= max_rounds:
+            # past the horizon: consume the batch (Spark validates
+            # that foreachBatch processes every partition — state
+            # commits ride partition processing) but write nothing
+            sched_df.count()
+            progress[batch_id] = -1
+            return
+        fetched = crawlmod.fetch_pages(
+            page_index, sched_df, "broadcast").persist()
+        try:
+            n_sched = sched_df.count()
+            progress[batch_id] = n_sched
+            if n_sched == 0:
+                return
+            (fetched.where(F.col("text").isNotNull())
+             .select("url_canon", "text",
+                     F.lit(batch_id).alias("round"))
+             .write.mode("overwrite")
+             .parquet(os.path.join(results_dir, f"round={batch_id}")))
+            raw = (fetched.where(F.col("links").isNotNull())
+                   .select("priority", "page_ts",
+                           F.explode("links").alias("link")))
+            cand = (sched.with_url_canon(raw, "link")
+                    .where(F.col("url_canon").isNotNull())
+                    .groupBy("url_canon")
+                    .agg(F.min(F.struct(
+                        (F.col("priority") + 1).alias("priority"),
+                        F.col("page_ts").alias("warc_ts"))).alias("o"))
+                    .select("url_canon", "o.priority", "o.warc_ts"))
+            if robots is not None:
+                gated = sched.apply_robots(
+                    sched.with_host(cand.localCheckpoint(eager=False)),
+                    robots)
+                cand = gated.where(F.col("robots_allowed"))
+            # ALWAYS write the round's discovery file (even empty):
+            # the new file is what triggers the next round, where
+            # leftover pending hosts re-offer via their state timeout
+            nxt = os.path.join(offers_dir, f"round_{batch_id + 1:05d}")
+            (cand.select("url_canon", "priority", "warc_ts")
+             .write.mode("overwrite").parquet(nxt))
+            if not any(f.endswith(".parquet") for f in os.listdir(nxt)):
+                # empty discovery sets can emit zero data files; the
+                # next trigger needs at least one new file to fire
+                spark.createDataFrame([], OFFER_DDL).coalesce(1) \
+                    .write.mode("append").parquet(nxt)
+        finally:
+            fetched.unpersist()
+
+    # each round is its own subdirectory; the glob makes the file
+    # source list files one level down (a bare directory path would
+    # ignore non-partition subdirs entirely)
+    offers = spark.readStream.schema(OFFER_DDL) \
+        .parquet(os.path.join(offers_dir, "*"))
+    hosts = offers.withColumn(
+        "host", F.regexp_extract(F.col("url_canon"),
+                                 r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
+    scheduled = hosts.groupBy("host").applyInPandasWithState(
+        _frontier_state_fn(budget_per_host), SCHED_OUT_DDL,
+        FRONTIER_STATE_DDL, "append",
+        GroupStateTimeout.ProcessingTimeTimeout)
+
+    query = (scheduled.writeStream
+             .outputMode("append")
+             .foreachBatch(fetch_and_discover)
+             .trigger(processingTime=trigger_interval)
+             .option("checkpointLocation", ckpt_dir)
+             .start())
+    try:
+        while True:
+            done = [b for b in progress
+                    if progress[b] == 0 or progress[b] == -1]
+            if done or len([b for b in progress
+                            if 0 <= b < max_rounds
+                            and progress[b] > 0]) >= max_rounds:
+                break
+            if query.exception() is not None:
+                raise query.exception()
+            time.sleep(poll_sec)
+    finally:
+        # stop between triggers: interrupting a mid-flight
+        # foreachBatch py4j call makes Spark's interruption
+        # classifier (StreamExecution.isInterruptionException)
+        # regex-scan the embedded Python traceback and overflow the
+        # stack — harmless but noisy. Terminal batches are no-ops,
+        # so the idle window is wide.
+        deadline = time.time() + 30
+        while (query.status.get("isTriggerActive")
+               and time.time() < deadline):
+            time.sleep(0.05)
+        query.stop()
+        query.awaitTermination()
+    rounds = sorted(b for b in progress if progress.get(b, 0) > 0)
+    return {"rounds": len(rounds),
+            "scheduled_per_round": {b: progress[b] for b in rounds}}

@@ -49,6 +49,13 @@ def main():
                          "restartable from its checkpoint, results "
                          "proven identical to crawl(max_rounds=1) by "
                          "tests/test_streaming.py")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run the FULL --rounds crawl as ONE long-lived "
+                         "incremental streaming query (per-host frontier "
+                         "state in the state store, filesystem feedback "
+                         "loop) instead of the batch loop; results proven "
+                         "identical to crawl(max_rounds=N) by "
+                         "tests/test_streaming.py")
     args = ap.parse_args()
 
     from frontier import synth
@@ -64,6 +71,24 @@ def main():
     pages = synth.pages_from_documents(spark, args.sf_dir)
     seeds = synth.seeds_from_documents(spark, args.sf_dir)
     robots = synth.robots_df(spark)
+
+    if args.streaming:
+        from frontier.spark import streaming
+
+        page_index = crawl.prepare_page_index(pages).cache()
+        stats = streaming.streaming_crawl(
+            spark, page_index, seeds, robots, args.budget, args.out,
+            max_rounds=args.rounds)
+        results_dir = os.path.join(args.out, "results")
+        print(json.dumps({
+            "mode": "streaming",
+            "rounds_done": stats["rounds"],
+            "scheduled": sum(stats["scheduled_per_round"].values()),
+            "extracted_texts": spark.read.parquet(results_dir).count(),
+            "wall_sec": round(time.perf_counter() - t0, 2),
+        }))
+        spark.stop()
+        return
 
     if args.streaming_round:
         from frontier.spark import streaming

@@ -253,3 +253,80 @@ def test_jpeg_encode_sniff_roundtrip_property():
         assert imagecodec.jpeg_sniff(blob) == (w, h, prog, com)
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# GIF (round-5)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_sniff_roundtrip_and_blocks():
+    b = imagecodec.gif_encode(640, 480, b"hi")
+    assert imagecodec.gif_sniff(b) == (640, 480, b"hi")
+    # GIF87a, no comment allowed
+    b2 = imagecodec.gif_encode(12, 7, version=b"87a")
+    assert imagecodec.gif_sniff(b2) == (12, 7, b"")
+    # multi-sub-block comment (>255 bytes) reassembles
+    com = bytes(range(256)) * 3
+    assert imagecodec.gif_sniff(imagecodec.gif_encode(1, 2, com)) \
+        == (1, 2, com)
+    # global color table is skipped, not misread as blocks
+    hdr = b"GIF89a" + (300).to_bytes(2, "little") \
+        + (200).to_bytes(2, "little") + bytes([0x80 | 2, 0, 0]) \
+        + b"\x00" * (3 * 8) + b"\x3b"
+    assert imagecodec.gif_sniff(hdr) == (300, 200, b"")
+    import pytest
+    for bad in (b"GIF90a" + b"\x00" * 10,
+                b"GIF89a\x00\x00\x00\x00",          # truncated LSD
+                imagecodec.gif_encode(3, 3, b"x")[:-3],  # cut sub-block
+                b"GIF89a" + b"\x00\x01\x00\x01\x00\x00\x00" + b"\x77"):
+        with pytest.raises(ValueError):
+            imagecodec.gif_sniff(bad)
+    with pytest.raises(ValueError):
+        imagecodec.gif_encode(0, 5)
+    with pytest.raises(ValueError):
+        imagecodec.gif_encode(5, 5, b"c", version=b"87a")
+
+
+def test_decode_media_gif_dispatch():
+    com = bytes(range(16))
+    w, h, n, feat = media.decode_media(imagecodec.gif_encode(33, 9, com))
+    assert (w, h, n) == (33, 9, 1)
+    want = [((com[k] + com[k + 8]) / 2 - 128) / 128 for k in range(8)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(feat, want))
+    assert media.decode_media(imagecodec.gif_encode(5, 5)) \
+        == (5, 5, 1, [])
+    assert media.decode_media(b"GIF89a\x01") == (None, None, None, [])
+
+
+def test_synth_gif_blob_rule():
+    # h[4]%2==1 → the jpeg slot emits a GIF with the SAME
+    # width/height/feature rules (oracle formulas unchanged)
+    h = hashlib.md5(b"blob:0").digest()
+    assert h[4] % 2 == 1  # target 0 is a GIF under the rule
+    blob, ctype = synth._media_blob(0, "jpeg")
+    assert ctype == "image/gif" and blob[:6] == b"GIF89a"
+    w, ht, n, feat = media.decode_media(blob)
+    assert (w, ht, n) == (4 + 4 * (h[0] % 4), 2 + h[3] % 4, 1)
+    for k in range(8):
+        want = ((h[k] + h[k + 8]) / 2 - 128) / 128
+        assert abs(feat[k] - want) < 1e-9, k
+
+
+def test_gif_sniff_fuzz_never_raises_uncaught():
+    """Property: gif_sniff either returns sane values or raises
+    ValueError — never IndexError/struct.error on crawled junk."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(tail):
+        blob = b"GIF89a" + tail
+        try:
+            w, h, com = imagecodec.gif_sniff(blob)
+        except ValueError:
+            return
+        assert 1 <= w <= 0xFFFF and 1 <= h <= 0xFFFF
+        assert isinstance(com, bytes)
+
+    run()
