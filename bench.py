@@ -192,6 +192,11 @@ def main():
             timed(name, lambda n=name: run_query(n))
             timed(name, lambda n=name: run_query(n))
 
+        # free the lazily-checkpointed left relations range_join_count
+        # accumulated (results are consumed by the noop sink above)
+        from frontier.spark import eventops
+        eventops.release_checkpoints()
+
     total = round(sum(timings.values()), 3)
     throughput = round(n_docs / timings["frontier_schedule_parse"], 1)
     # TWO json lines (r4 VERDICT item 6): the driver captures only the

@@ -228,11 +228,17 @@ def _frontier_state_fn(budget_per_host: int):
     that; not yet in pyspark's applyInPandasWithState.)
     """
     import pickle
+    import zlib
 
     def fn(key, pdfs, state: GroupState):
+        # state blobs are zlib-compressed (~10× on URL text): the
+        # Arrow state channel copies its buffer on every growth step,
+        # so a hot host's multi-MB pickled queue otherwise turns into
+        # quadratic memcpy (measured: one 25 MB blob stalled its task
+        # for minutes; compressed, the same state moves in seconds)
         if state.exists:
-            pending = pickle.loads(state.get[0])
-            seen = set(pickle.loads(state.get[1]))
+            pending = pickle.loads(zlib.decompress(state.get[0]))
+            seen = set(pickle.loads(zlib.decompress(state.get[1])))
         else:
             pending, seen = {}, set()
         rows = [pdf for pdf in pdfs if len(pdf)]
@@ -255,8 +261,8 @@ def _frontier_state_fn(budget_per_host: int):
         for url, _ in take:
             del pending[url]
             seen.add(url)
-        state.update((pickle.dumps(pending),
-                      pickle.dumps(sorted(seen))))
+        state.update((zlib.compress(pickle.dumps(pending), 1),
+                      zlib.compress(pickle.dumps(sorted(seen)), 1)))
         if pending:
             state.setTimeoutDuration(1)  # re-offer leftovers next trigger
         if take:
