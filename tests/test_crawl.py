@@ -281,3 +281,23 @@ def test_crawl_releases_cached_blocks(spark, corpus, tmp_path):
     after = set(jsc.getPersistentRDDs().keySet())
     leaked = after - before
     assert not leaked, f"crawl leaked cached RDDs: {leaked}"
+
+
+def test_ckpt_replicated_storage_level(spark, monkeypatch):
+    """FRONTIER_CKPT_REPLICATED=1 must store round state at
+    MEMORY_AND_DISK_2 so a cluster commit survives one executor loss
+    (single-node runs keep the cheaper non-replicated default)."""
+    import os
+
+    monkeypatch.setenv("FRONTIER_CKPT_REPLICATED", "1")
+    ck = crawl._ckpt(spark.range(10))
+    assert ck.count() == 10
+    lvl = crawl._CKPT_LIVE[-1].getStorageLevel()
+    assert lvl.replication() == 2 and lvl.useDisk()
+    crawl._release_ckpts()
+
+    monkeypatch.delenv("FRONTIER_CKPT_REPLICATED")
+    ck = crawl._ckpt(spark.range(10))
+    ck.count()
+    assert crawl._CKPT_LIVE[-1].getStorageLevel().replication() == 1
+    crawl._release_ckpts()
