@@ -100,18 +100,28 @@ def main():
     # co-partition instead — same plan shape, no broadcast.)
     robots = synth.robots_df(spark)
 
+    from frontier.spark.session import checkpoint_rdd
+
     def headline(pages, fetch):
         frontier = pages.select("url", "warc_ts") \
             .withColumn("priority", F.lit(0))
-        staged = schedule.with_host(schedule.with_url_canon(frontier))
+        # the staged barrier mirrors the crawl loop (crawl.py): the
+        # PRUNED robots gate (round 5) reads the staged frontier
+        # twice — hosts-distinct prune + gate join — and without the
+        # checkpoint the canon chain would compute twice
+        staged = schedule.with_host(schedule.with_url_canon(frontier)) \
+            .localCheckpoint(eager=False)
+        ckpt_handle = checkpoint_rdd(staged)
         gated = schedule.apply_robots(staged, robots) \
             .where(F.col("robots_allowed"))
         cut = schedule.politeness_cut(gated, budget_per_host=1000)
         ordered = schedule.fetch_order(cut, num_partitions=cpus) \
             .select("url")
         fetched = fetch(pages, ordered)
-        return parse.extract_main_text(fetched) \
+        n = parse.extract_main_text(fetched) \
             .where(F.col("text").isNotNull()).count()
+        ckpt_handle.unpersist(False)
+        return n
 
     def bcast(pages, ordered):
         return pages.join(F.broadcast(ordered), "url")
