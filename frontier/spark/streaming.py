@@ -299,18 +299,29 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     3. ``foreachBatch``: fetch the scheduled urls against the static
        ``page_index`` (broadcast — page bytes never shuffle), write
        results parquet for the round, then explode links → canon →
-       robots entry-gate and write the gated discoveries BACK into
-       ``offers/`` — which is what triggers the next round;
-    4. the driver polls round progress and stops the query after
-       ``max_rounds`` rounds or when a round schedules nothing.
+       robots entry-gate and write the gated discoveries to
+       ``staging/``; rounds INSIDE the horizon are then PROMOTED
+       (directory rename) into ``offers/`` — which is what triggers
+       the next round;
+    4. the driver polls round progress and stops the query when
+       round ``max_rounds - 1`` commits or a round schedules
+       nothing.
 
-    Restart safety: all per-round writes are keyed by batch_id
-    (overwrite-idempotent) and the checkpoint restores source
-    offsets + state, so a killed run resumes mid-crawl.
+    Horizon enforcement is by STARVATION, never by discarding: the
+    last in-horizon round's discoveries stay in ``staging/``, so no
+    batch beyond the horizon ever runs — critical for restart,
+    because a batch consumes per-host state (urls get marked seen
+    when scheduled) and a discarded emission would lose those urls
+    forever. No-data micro-batches are disabled for the same reason
+    (a timeout-only batch past the horizon would also consume
+    state). On re-invocation with a larger horizon, the staged
+    rounds are promoted and the checkpoint restores offsets + state,
+    so the crawl continues exactly where it stopped; batch ids (=
+    round numbers) are sequential across restarts by construction.
 
     Returns {"rounds": n, "scheduled_per_round": {...}}.
     tests/test_streaming.py proves N-round results identical to
-    ``crawl.crawl(max_rounds=N)``.
+    ``crawl.crawl(max_rounds=N)`` — including across a stop/resume.
     """
     import os
     import time
@@ -319,9 +330,17 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     from . import schedule as sched
 
     offers_dir = os.path.join(work_dir, "offers")
+    staging_dir = os.path.join(work_dir, "staging")
     results_dir = os.path.join(work_dir, "results")
     ckpt_dir = os.path.join(work_dir, "ckpt")
     os.makedirs(offers_dir, exist_ok=True)
+    os.makedirs(staging_dir, exist_ok=True)
+
+    def promote(round_id: int) -> None:
+        src = os.path.join(staging_dir, f"round_{round_id:05d}")
+        dst = os.path.join(offers_dir, f"round_{round_id:05d}")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.rename(src, dst)
 
     seeded_marker = os.path.join(work_dir, "_seeded")
     if not os.path.exists(seeded_marker):
@@ -333,23 +352,23 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
             .parquet(os.path.join(offers_dir, "round_00000"))
         crawlmod._release_ckpts()
         open(seeded_marker, "w").close()
+    else:
+        # resume: rounds staged past the previous horizon enter the
+        # source now that the horizon moved
+        for name in sorted(os.listdir(staging_dir)):
+            rid = int(name.rsplit("_", 1)[-1])
+            if rid < max_rounds:
+                promote(rid)
 
     progress: dict[int, int] = {}
 
     def fetch_and_discover(sched_df: DataFrame, batch_id: int):
-        if batch_id >= max_rounds:
-            # past the horizon: consume the batch (Spark validates
-            # that foreachBatch processes every partition — state
-            # commits ride partition processing) but write nothing
-            sched_df.count()
-            progress[batch_id] = -1
-            return
         fetched = crawlmod.fetch_pages(
             page_index, sched_df, "broadcast").persist()
         try:
             n_sched = sched_df.count()
-            progress[batch_id] = n_sched
             if n_sched == 0:
+                progress[batch_id] = 0
                 return
             (fetched.where(F.col("text").isNotNull())
              .select("url_canon", "text",
@@ -371,10 +390,11 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                     sched.with_host(cand.localCheckpoint(eager=False)),
                     robots)
                 cand = gated.where(F.col("robots_allowed"))
-            # ALWAYS write the round's discovery file (even empty):
-            # the new file is what triggers the next round, where
-            # leftover pending hosts re-offer via their state timeout
-            nxt = os.path.join(offers_dir, f"round_{batch_id + 1:05d}")
+            # ALWAYS write the round's discovery file (even empty —
+            # its arrival is what fires the next round, where
+            # leftover pending hosts re-offer via their state
+            # timeout), but only PROMOTE it inside the horizon
+            nxt = os.path.join(staging_dir, f"round_{batch_id + 1:05d}")
             (cand.select("url_canon", "priority", "warc_ts")
              .write.mode("overwrite").parquet(nxt))
             if not any(f.endswith(".parquet") for f in os.listdir(nxt)):
@@ -382,6 +402,11 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                 # next trigger needs at least one new file to fire
                 spark.createDataFrame([], OFFER_DDL).coalesce(1) \
                     .write.mode("append").parquet(nxt)
+            if batch_id + 1 < max_rounds:
+                promote(batch_id + 1)
+            # recorded LAST: the monitor stopping on this round id
+            # implies every write above is committed (restart-safe)
+            progress[batch_id] = n_sched
         finally:
             fetched.unpersist()
 
@@ -398,6 +423,13 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
         FRONTIER_STATE_DDL, "append",
         GroupStateTimeout.ProcessingTimeTimeout)
 
+    # no-data micro-batches would let a timeout-only batch run past
+    # the horizon and consume state it can never replay — off for
+    # the duration of this query (restored below). In-horizon
+    # leftover rounds don't need them: every round promotes a file.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    nodata_prev = spark.conf.get(nodata_key, "true")
+    spark.conf.set(nodata_key, "false")
     query = (scheduled.writeStream
              .outputMode("append")
              .foreachBatch(fetch_and_discover)
@@ -405,29 +437,38 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
              .option("checkpointLocation", ckpt_dir)
              .start())
     try:
+        last_advance = time.time()
+        seen_rounds = 0
         while True:
-            done = [b for b in progress
-                    if progress[b] == 0 or progress[b] == -1]
-            if done or len([b for b in progress
-                            if 0 <= b < max_rounds
-                            and progress[b] > 0]) >= max_rounds:
+            if any(n == 0 for n in progress.values()) \
+                    or (max_rounds - 1) in progress:
                 break
+            if len(progress) != seen_rounds:
+                seen_rounds = len(progress)
+                last_advance = time.time()
             if query.exception() is not None:
                 raise query.exception()
+            if time.time() - last_advance > 120:
+                # starvation guard: nothing left to process (e.g. a
+                # resume where every in-horizon round was already
+                # committed) — the query idles by design, stop it
+                break
             time.sleep(poll_sec)
     finally:
         # stop between triggers: interrupting a mid-flight
         # foreachBatch py4j call makes Spark's interruption
         # classifier (StreamExecution.isInterruptionException)
         # regex-scan the embedded Python traceback and overflow the
-        # stack — harmless but noisy. Terminal batches are no-ops,
-        # so the idle window is wide.
+        # stack — harmless but noisy. The terminal round's discovery
+        # file stays unpromoted, so the engine idles right after it —
+        # the idle window is wide.
         deadline = time.time() + 30
         while (query.status.get("isTriggerActive")
                and time.time() < deadline):
             time.sleep(0.05)
         query.stop()
         query.awaitTermination()
+        spark.conf.set(nodata_key, nodata_prev)
     rounds = sorted(b for b in progress if progress.get(b, 0) > 0)
     return {"rounds": len(rounds),
             "scheduled_per_round": {b: progress[b] for b in rounds}}

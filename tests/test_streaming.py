@@ -219,3 +219,44 @@ def test_streaming_crawl_stops_when_frontier_dry(spark, sf_dir,
            .select("url_canon", "round").collect()}
     assert stats["rounds"] < 8  # stopped on a dry frontier
     assert got == batch_results
+
+
+def test_streaming_crawl_resumes_mid_crawl(spark, sf_dir, pages_dir,
+                                           tmp_path_factory):
+    """Restart safety (north_rule: resumable mid-crawl): run the
+    streaming loop for 2 rounds, stop, then re-invoke on the SAME
+    work dir with a larger horizon. The checkpoint restores source
+    offsets and per-host state (seen set + pending queues), the
+    seeded marker prevents re-seeding, and the combined results must
+    equal an uninterrupted batch crawl of the full horizon."""
+    from frontier.spark import crawl
+    from frontier.spark.snapshots import SnapshotStore
+
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots = synth.robots_df(spark).cache()
+    budget, horizon = 3, 4
+
+    pages = spark.read.parquet(pages_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("batch_ref4")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=budget, max_rounds=horizon,
+                num_buckets=8)
+    want = {(r.url_canon, r.text, r.round) for r in
+            crawl.collect_results(spark, store).collect()}
+
+    work = str(tmp_path_factory.mktemp("stream_resume"))
+    first = streaming.streaming_crawl(
+        spark, page_index, seeds, robots, budget, work, max_rounds=2)
+    assert first["rounds"] == 2
+    # resume: same work dir, full horizon — continues at round 2
+    second = streaming.streaming_crawl(
+        spark, page_index, seeds, robots, budget, work,
+        max_rounds=horizon)
+    got = {(r.url_canon, r.text, r.round) for r in
+           spark.read.parquet(os.path.join(work, "results"))
+           .collect()}
+    assert got == want and len(got) > 0
+    # the resumed run processed only the remaining rounds
+    assert all(b >= 2 for b in second["scheduled_per_round"])
