@@ -716,10 +716,11 @@ def q_media_features(spark, sf_dir):
     Paeth/Average implementation flips f0/f5 and fails the oracle.
     Feature values are dyadic rationals → exact across engines.
 
-    The n==1 slot mixes JPEG and GIF blobs (synth: h[4]%2) with
-    identical width/height/feature rules, so the oracle's n==1
-    formulas validate BOTH sniffers — a GIF dimension misread (e.g.
-    big-endian) flips width/height on exactly the GIF rows."""
+    The n==1 slot mixes JPEG, GIF, and WebP blobs (synth: h[4]%3)
+    with identical width/height/feature rules, so the oracle's n==1
+    formulas validate all THREE sniffers — a GIF dimension misread
+    (e.g. big-endian) or a WebP 24-bit off-by-one flips width/height
+    on exactly that codec's rows."""
     from frontier.spark import media, parse
     res = parse.parse_pages(_pages(spark, sf_dir), decode=True)
     feats = media.extract_features(media.media_resources(res))

@@ -396,3 +396,83 @@ def gif_sniff(blob: bytes) -> tuple[int, int, bytes]:
         if label == 0xFE and not comment:
             comment = bytes(sub)
     return width, height, comment
+
+
+# ---------------------------------------------------------------------------
+# WebP — RIFF chunk-walk dimension sniffing (VP8X / VP8L / VP8 )
+# ---------------------------------------------------------------------------
+
+WEBP_SIG = b"RIFF"  # full check: RIFF....WEBP (fourcc at offset 8)
+
+
+def webp_encode(width: int, height: int, comment: bytes = b"") -> bytes:
+    """Minimal extended-format WebP: RIFF/WEBP container + VP8X chunk
+    (canvas width/height as 24-bit LE minus-one) + optional XMP
+    metadata chunk carrying ``comment``. Like ``jpeg_encode`` /
+    ``gif_encode``, a container skeleton with real, sniffable
+    dimensions and a metadata payload — no VP8 bitstream (the media
+    path needs dimensions and metadata bytes, not pixels)."""
+    if not (0 < width <= 1 << 24 and 0 < height <= 1 << 24):
+        raise ValueError("dimensions out of 24-bit range")
+    flags = 0x04 if comment else 0x00  # XMP metadata bit
+    vp8x = bytes([flags, 0, 0, 0]) \
+        + struct.pack("<I", width - 1)[:3] \
+        + struct.pack("<I", height - 1)[:3]
+    body = bytearray(b"WEBP")
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    if comment:
+        body += b"XMP " + struct.pack("<I", len(comment)) + comment
+        if len(comment) % 2:
+            body += b"\x00"  # RIFF chunks are even-padded
+    return b"RIFF" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def webp_sniff(blob: bytes) -> tuple[int, int, bytes]:
+    """WebP bytes → (width, height, XMP payload) by walking RIFF
+    chunks. Handles all three on-the-wire layouts: VP8X (extended —
+    24-bit LE canvas size minus one), VP8L (lossless — 14-bit packed
+    dims after the 0x2F signature byte), and "VP8 " (lossy — 14-bit
+    dims after the 0x9D012A sync code). Raises ValueError on
+    malformed input — Spark callers catch and degrade (SURVEY §2.8)."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP file")
+    if len(blob) < 12:
+        raise ValueError("truncated RIFF header")
+    (riff_len,) = struct.unpack_from("<I", blob, 4)
+    end = min(len(blob), 8 + riff_len)
+    pos = 12
+    dims: tuple[int, int] | None = None
+    xmp = b""
+    while pos + 8 <= end:
+        fourcc = blob[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", blob, pos + 4)
+        data = blob[pos + 8:pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated chunk")
+        if fourcc == b"VP8X":
+            if clen < 10:
+                raise ValueError("short VP8X")
+            w = int.from_bytes(data[4:7], "little") + 1
+            h = int.from_bytes(data[7:10], "little") + 1
+            dims = dims or (w, h)
+        elif fourcc == b"VP8L" and dims is None:
+            if clen < 5 or data[0] != 0x2F:
+                raise ValueError("bad VP8L signature")
+            bits = int.from_bytes(data[1:5], "little")
+            dims = ((bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+        elif fourcc == b"VP8 " and dims is None:
+            # key frame: 3-byte frame tag, 3-byte sync, LE u16 w/h
+            # (each 14 bits; upper 2 bits are scaling hints)
+            if clen < 10 or data[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("bad VP8 sync code")
+            w = struct.unpack_from("<H", data, 6)[0] & 0x3FFF
+            h = struct.unpack_from("<H", data, 8)[0] & 0x3FFF
+            dims = (w, h)
+        elif fourcc == b"XMP " and not xmp:
+            xmp = data
+        pos += 8 + clen + (clen & 1)  # chunks are even-padded
+    if dims is None:
+        raise ValueError("no VP8X/VP8L/VP8 chunk found")
+    if dims[0] == 0 or dims[1] == 0:
+        raise ValueError("zero dimension")
+    return dims[0], dims[1], xmp

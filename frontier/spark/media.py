@@ -71,6 +71,10 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
     * GIF (round-5) → dimensions from the logical screen descriptor
       (LE u16 at offsets 6/8, GIF87a and GIF89a); feature = 8-phase
       means over the Comment Extension payload, same normalization;
+    * WebP (round-5) → RIFF chunk walk; dimensions from VP8X (24-bit
+      LE canvas), VP8L (14-bit packed), or lossy "VP8 " (post-sync
+      u16) — all three wire layouts; feature = 8-phase means over
+      the XMP metadata payload, same normalization as JPEG's COM;
     * FRMS (multi-frame container, the video path) → n_frames from
       the container, dimensions/feature from frame 0;
     * WAV → width = total samples, height = channels, feature =
@@ -103,6 +107,11 @@ def decode_media(blob: bytes) -> tuple[int | None, int | None,
             return w, h, len(frames), [(m - 128) / 128.0
                                        for m in _phase_means(pixels)]
         if blob.startswith(b"RIFF"):
+            if blob[8:12] == b"WEBP":
+                w, h, xmp = codec.webp_sniff(blob)
+                return w, h, 1, ([(m - 128) / 128.0
+                                  for m in _phase_means(xmp)] if xmp
+                                 else [])
             channels, _rate, samples = codec.wav_decode(blob)
             return (len(samples), channels, 1,
                     [m / 32768.0 for m in _phase_means(samples)])

@@ -282,7 +282,8 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                     budget_per_host: int, work_dir: str,
                     max_rounds: int = 5,
                     trigger_interval: str = "1 second",
-                    poll_sec: float = 0.2) -> dict:
+                    poll_sec: float = 0.2,
+                    state_partitions: int | None = None) -> dict:
     """The N-round crawl as ONE long-lived incremental streaming
     query (r3/r4 VERDICT: the batch loop re-plans every round; here
     the frontier plan — file source → per-host stateful schedule —
@@ -318,6 +319,16 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     rounds are promoted and the checkpoint restores offsets + state,
     so the crawl continues exactly where it stopped; batch ids (=
     round numbers) are sequential across restarts by construction.
+
+    ``state_partitions`` pins the stateful exchange's
+    shuffle-partition count for this query (the state store writes
+    one delta file per partition per micro-batch and the count is
+    FROZEN into the checkpoint at the first trigger — resumes keep
+    it regardless of session settings). Size it to the per-trigger
+    DELTA, not the cluster: the measured width response inverts
+    otherwise (BENCH/BASELINE.md §streaming-loop). The session's
+    ``spark.sql.shuffle.partitions`` is restored before the first
+    batch's fetch work, so batch-side joins keep full parallelism.
 
     Returns {"rounds": n, "scheduled_per_round": {...}}.
     tests/test_streaming.py proves N-round results identical to
@@ -362,7 +373,16 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
 
     progress: dict[int, int] = {}
 
+    shuffle_key = "spark.sql.shuffle.partitions"
+    shuffle_prev = spark.conf.get(shuffle_key)
+
     def fetch_and_discover(sched_df: DataFrame, batch_id: int):
+        # the micro-batch's stateful plan is already compiled when
+        # foreachBatch runs, so widening the CLONED stream session
+        # here affects only the batch-side fetch/discovery plans —
+        # the state exchange keeps its checkpoint-pinned width
+        if state_partitions is not None:
+            sched_df.sparkSession.conf.set(shuffle_key, shuffle_prev)
         fetched = crawlmod.fetch_pages(
             page_index, sched_df, "broadcast").persist()
         try:
@@ -430,6 +450,11 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
     nodata_prev = spark.conf.get(nodata_key, "true")
     spark.conf.set(nodata_key, "false")
+    if state_partitions is not None:
+        # inherited by the stream's cloned session at start(); the
+        # FIRST trigger freezes it into the checkpoint as the state
+        # partition count (resumes ignore session settings)
+        spark.conf.set(shuffle_key, str(state_partitions))
     query = (scheduled.writeStream
              .outputMode("append")
              .foreachBatch(fetch_and_discover)
@@ -469,6 +494,7 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
         query.stop()
         query.awaitTermination()
         spark.conf.set(nodata_key, nodata_prev)
+        spark.conf.set(shuffle_key, shuffle_prev)
     rounds = sorted(b for b in progress if progress.get(b, 0) > 0)
     return {"rounds": len(rounds),
             "scheduled_per_round": {b: progress[b] for b in rounds}}

@@ -107,12 +107,13 @@ def _media_blob(target: int, kind: str) -> tuple[bytes, str]:
       sniffer walks both marker layouts; the COM payload is the md5
       digest itself, so the 8-phase feature means reduce to the SAME
       ``(h[k]+h[k+8])/2`` rule as png.
-    * the "jpeg" slot emits a GIF instead when ``h[4]%2 == 1``
-      (round-5): GIF89a header skeleton with the SAME width/height
-      rules and the digest as the Comment Extension payload — so the
-      media-features DuckDB oracle's n==1 formulas validate BOTH
-      codecs without change, and roughly half the slot's rows
-      exercise each sniffer.
+    * the "jpeg" slot splits three ways on ``h[4]%3`` (round-5):
+      0 → JPEG, 1 → GIF89a (digest as the Comment Extension
+      payload), 2 → WebP (VP8X canvas dims + digest as the XMP
+      payload) — all with the SAME width/height/feature rules, so
+      the media-features DuckDB oracle's n==1 formulas validate all
+      THREE sniffers without change, and each slot row exercises
+      exactly one of them.
     * video: an FRMS container of ``1 + h[2]%4`` copies of the PNG.
     """
     from frontier.kernel import imagecodec
@@ -120,9 +121,12 @@ def _media_blob(target: int, kind: str) -> tuple[bytes, str]:
     h = hashlib.md5(f"blob:{target}".encode()).digest()
     w = 4 + 4 * (h[0] % 4)
     if kind == "jpeg":
-        if h[4] % 2 == 1:
+        if h[4] % 3 == 1:
             return (imagecodec.gif_encode(w, 2 + h[3] % 4, comment=h),
                     "image/gif")
+        if h[4] % 3 == 2:
+            return (imagecodec.webp_encode(w, 2 + h[3] % 4, comment=h),
+                    "image/webp")
         return (imagecodec.jpeg_encode(w, 2 + h[3] % 4, comment=h,
                                        progressive=h[1] % 2 == 1),
                 "image/jpeg")

@@ -56,6 +56,14 @@ def main():
                          "loop) instead of the batch loop; results proven "
                          "identical to crawl(max_rounds=N) by "
                          "tests/test_streaming.py")
+    ap.add_argument("--state-partitions", type=int, default=None,
+                    help="pin the streaming query's state-store "
+                         "partition count (frozen into the checkpoint "
+                         "at the first trigger). Size to the "
+                         "per-trigger delta, not the cluster — the "
+                         "state store writes one delta file per "
+                         "partition per micro-batch "
+                         "(BENCH/BASELINE.md streaming-loop notes)")
     args = ap.parse_args()
 
     from frontier import synth
@@ -78,7 +86,8 @@ def main():
         page_index = crawl.prepare_page_index(pages).cache()
         stats = streaming.streaming_crawl(
             spark, page_index, seeds, robots, args.budget, args.out,
-            max_rounds=args.rounds)
+            max_rounds=args.rounds,
+            state_partitions=args.state_partitions)
         results_dir = os.path.join(args.out, "results")
         print(json.dumps({
             "mode": "streaming",

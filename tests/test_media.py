@@ -300,10 +300,10 @@ def test_decode_media_gif_dispatch():
 
 
 def test_synth_gif_blob_rule():
-    # h[4]%2==1 → the jpeg slot emits a GIF with the SAME
+    # h[4]%3==1 → the jpeg slot emits a GIF with the SAME
     # width/height/feature rules (oracle formulas unchanged)
     h = hashlib.md5(b"blob:0").digest()
-    assert h[4] % 2 == 1  # target 0 is a GIF under the rule
+    assert h[4] % 3 == 1  # target 0 is a GIF under the rule
     blob, ctype = synth._media_blob(0, "jpeg")
     assert ctype == "image/gif" and blob[:6] == b"GIF89a"
     w, ht, n, feat = media.decode_media(blob)
@@ -328,5 +328,86 @@ def test_gif_sniff_fuzz_never_raises_uncaught():
             return
         assert 1 <= w <= 0xFFFF and 1 <= h <= 0xFFFF
         assert isinstance(com, bytes)
+
+    run()
+
+
+def test_webp_sniff_all_three_layouts():
+    # VP8X (what webp_encode emits)
+    b = imagecodec.webp_encode(640, 480, b"meta")
+    assert imagecodec.webp_sniff(b) == (640, 480, b"meta")
+    assert imagecodec.webp_sniff(imagecodec.webp_encode(1, 1)) \
+        == (1, 1, b"")
+    # odd-length XMP payloads get RIFF even-padding that must NOT
+    # leak into the returned bytes
+    assert imagecodec.webp_sniff(
+        imagecodec.webp_encode(9, 9, b"abc"))[2] == b"abc"
+    # 24-bit canvas boundary
+    assert imagecodec.webp_sniff(
+        imagecodec.webp_encode(1 << 24, 3))[:2] == (1 << 24, 3)
+    # hand-built VP8L (lossless): 14-bit packed dims after 0x2F
+    bits = (299) | (144 << 14)  # width-1=299, height-1=144
+    vp8l = bytes([0x2F]) + struct.pack("<I", bits)
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(vp8l)) + b"WEBP" \
+        + b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    assert imagecodec.webp_sniff(blob) == (300, 145, b"")
+    # hand-built lossy "VP8 ": dims after the 0x9D012A sync code
+    d = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 320, 240)
+    blob = b"RIFF" + struct.pack("<I", 4 + 8 + len(d)) + b"WEBP" \
+        + b"VP8 " + struct.pack("<I", len(d)) + d
+    assert imagecodec.webp_sniff(blob) == (320, 240, b"")
+    for bad in (b"RIFF\x00\x00\x00\x00WAVE",  # wrong fourcc
+                imagecodec.webp_encode(3, 3)[:-4],  # truncated chunk
+                b"RIFF\x08\x00\x00\x00WEBP"):  # no dimension chunk
+        with pytest.raises(ValueError):
+            imagecodec.webp_sniff(bad)
+    with pytest.raises(ValueError):
+        imagecodec.webp_encode(0, 5)
+
+
+def test_decode_media_webp_dispatch():
+    com = bytes(range(16))
+    w, h, n, feat = media.decode_media(imagecodec.webp_encode(33, 9, com))
+    assert (w, h, n) == (33, 9, 1)
+    want = [((com[k] + com[k + 8]) / 2 - 128) / 128 for k in range(8)]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(feat, want))
+    assert media.decode_media(imagecodec.webp_encode(5, 5)) \
+        == (5, 5, 1, [])
+    # RIFF dispatch still routes WAVE to the audio decoder
+    wav = imagecodec.wav_encode([0] * 8, channels=2)
+    assert media.decode_media(wav)[1] == 2
+    assert media.decode_media(b"RIFF\x04\x00\x00\x00WEBP") \
+        == (None, None, None, [])
+
+
+def test_synth_webp_blob_rule():
+    # h[4]%3==2 → the jpeg slot emits a WebP with the SAME
+    # width/height/feature rules (oracle formulas unchanged)
+    h = hashlib.md5(b"blob:15").digest()
+    assert h[4] % 3 == 2  # target 15 is a WebP under the rule
+    blob, ctype = synth._media_blob(15, "jpeg")
+    assert ctype == "image/webp" and blob[8:12] == b"WEBP"
+    w, ht, n, feat = media.decode_media(blob)
+    assert (w, ht, n) == (4 + 4 * (h[0] % 4), 2 + h[3] % 4, 1)
+    for k in range(8):
+        want = ((h[k] + h[k + 8]) / 2 - 128) / 128
+        assert abs(feat[k] - want) < 1e-9, k
+
+
+def test_webp_sniff_fuzz_never_raises_uncaught():
+    """Property: webp_sniff either returns sane values or raises
+    ValueError — never IndexError/struct.error on crawled junk."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def run(tail):
+        blob = b"RIFF" + tail
+        try:
+            w, h, xmp = imagecodec.webp_sniff(blob)
+        except ValueError:
+            return
+        assert 1 <= w <= 1 << 24 and 1 <= h <= 1 << 24
+        assert isinstance(xmp, bytes)
 
     run()

@@ -260,3 +260,48 @@ def test_streaming_crawl_resumes_mid_crawl(spark, sf_dir, pages_dir,
     assert got == want and len(got) > 0
     # the resumed run processed only the remaining rounds
     assert all(b >= 2 for b in second["scheduled_per_round"])
+
+
+def test_streaming_crawl_pinned_state_partitions(spark, sf_dir,
+                                                 pages_dir,
+                                                 tmp_path_factory):
+    """state_partitions pins the state store's partition count to the
+    per-trigger delta (the measured width lever: one delta file per
+    partition per micro-batch, BENCH/BASELINE.md streaming-loop
+    notes) WITHOUT changing results or leaking the narrowed setting
+    into the session or the batch-side plans."""
+    from frontier.spark import crawl
+    from frontier.spark.snapshots import SnapshotStore
+
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots = synth.robots_df(spark).cache()
+    budget, rounds = 3, 2
+
+    pages = spark.read.parquet(pages_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("batch_sp")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=budget, max_rounds=rounds,
+                num_buckets=8)
+    want = {(r.url_canon, r.text, r.round) for r in
+            crawl.collect_results(spark, store).collect()}
+
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    work = str(tmp_path_factory.mktemp("stream_sp"))
+    stats = streaming.streaming_crawl(
+        spark, page_index, seeds, robots, budget, work,
+        max_rounds=rounds, state_partitions=4)
+    got = {(r.url_canon, r.text, r.round) for r in
+           spark.read.parquet(os.path.join(work, "results"))
+           .collect()}
+    assert stats["rounds"] == rounds
+    assert got == want and len(got) > 0
+    # the checkpoint froze exactly 4 state partitions for operator 0
+    state_root = os.path.join(work, "ckpt", "state", "0")
+    parts = sorted(int(d) for d in os.listdir(state_root)
+                   if d.isdigit())
+    assert parts == [0, 1, 2, 3]
+    # the narrowed width never leaks back into the session
+    assert spark.conf.get(
+        "spark.sql.shuffle.partitions") == shuffle_before
