@@ -441,14 +441,19 @@ def q_training_mix(spark, sf_dir):
 
 
 def q_ann_approx_topk(spark, sf_dir):
-    """BOTH approximate-ANN scale paths in one relation
-    (consolidation): Lloyd-trained IVF probe top-k and
-    hyperplane-LSH banding top-k, tagged by method."""
+    """ALL three ANN paths in one relation (consolidation, r5 adds
+    the exact baseline): brute-force exact cosine top-k,
+    Lloyd-trained IVF probe top-k, and hyperplane-LSH banding top-k,
+    tagged by method — so the graded row pins the exact verifier AND
+    both approximate scale paths against it."""
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"))
+    exact = ann.cosine_topk(emb, queries, k=3) \
+        .select(F.lit("exact").alias("method"),
+                "query_id", "neighbor_id", "rank")
     ivf = ann.ivf_topk(emb, queries, k=3, n_cells=16, n_probe=4) \
         .select(F.lit("ivf").alias("method"),
                 "query_id", "neighbor_id", "rank")
@@ -456,7 +461,7 @@ def q_ann_approx_topk(spark, sf_dir):
                        n_bands=8, bits_per_band=4) \
         .select(F.lit("lsh").alias("method"),
                 "query_id", "neighbor_id", "rank")
-    return ivf.unionByName(lsh)
+    return exact.unionByName(ivf).unionByName(lsh)
 
 
 def _embedding_dim(sf_dir):
@@ -478,14 +483,16 @@ def q_embedding_near_dup(spark, sf_dir):
                                n_bands=8, bits_per_band=4)
 
 
-def q_ann_cosine_topk(spark, sf_dir):
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): Lloyd-clustered embedding space,
+    within-cluster cosine prune, min-id survivor — full (vec_id,
+    cell_id, keep) assignment so the hash pins clustering AND the
+    prune decision for every vector. Oracle re-derives the trained
+    codebook via the shared unrolled-Lloyd CTE."""
     from frontier.spark import ann
     emb = _read(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_embedding"))
-    return ann.cosine_topk(emb, queries, k=3) \
-        .select("query_id", "neighbor_id", "rank")
+    return ann.semantic_dedup(emb, n_cells=16, n_iter=2,
+                              threshold=0.4)
 
 
 def q_media_frames(spark, sf_dir):
@@ -756,10 +763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     absorbed): pricing_summary ⊃ part_above_avg · doc_hashes =
     exact_dedup + fingerprint + simhash · text_stats = token_stats +
     bpe_token_count + lang_guess · lsh_jaccard = lsh_pairs +
-    ngram_jaccard · ann_approx_topk = ann_ivf_topk + ann_lsh_topk ·
-    mhtml_meta = header_get + text_sha · temporal_report =
-    crawl_rollup + events_daily. New in r4: paragraph_dedup,
-    html_clean."""
+    ngram_jaccard · ann_approx_topk = ann_cosine_topk (exact, r5) +
+    ann_ivf_topk + ann_lsh_topk · mhtml_meta = header_get + text_sha
+    · temporal_report = crawl_rollup + events_daily. New in r4:
+    paragraph_dedup, html_clean. New in r5: semantic_dedup (slot
+    freed by folding the exact baseline into ann_approx_topk)."""
     out = {
         "mhtml_extract_text": q_mhtml_extract_text,
         "mhtml_resource_count": q_mhtml_resource_count,
@@ -782,7 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_jaccard": q_lsh_jaccard,
         "paragraph_dedup": q_paragraph_dedup,
         "html_clean": q_html_clean,
-        "ann_cosine_topk": q_ann_cosine_topk,
+        "semantic_dedup": q_semantic_dedup,
         "ann_approx_topk": q_ann_approx_topk,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -943,12 +951,14 @@ SELECT doc_id,
 FROM r{n_iter}""")
 
 
-def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
-                    n_probe: int = 4, k: int = 3,
-                    n_queries: int = 5) -> str:
-    """DuckDB restatement of ann.ivf_codebook + ivf_topk: the Lloyd
-    iterations are UNROLLED as chained CTEs. Exactness: quantized
-    elements and per-cell sums are integer-valued doubles < 2^53, so
+def _ivf_ranked_cte(n_cells: int = 16, n_iter: int = 2) -> str:
+    """DuckDB restatement of ann.ivf_codebook + cell assignment: the
+    Lloyd iterations are UNROLLED as chained CTEs, ending in
+    ``ranked(vec_id, cell_id, rn)`` — every vector's cells by
+    descending cosine to the trained centroids. Shared by the IVF
+    top-k oracle (probe = rn ≤ n_probe) and the semantic-dedup
+    oracle (assignment = rn = 1). Exactness: quantized elements and
+    per-cell sums are integer-valued doubles < 2^53, so
     dots/norms/sums are bit-identical in any summation order; the
     only float ops (sqrt, divide) are IEEE-correctly-rounded in both
     engines from identical inputs."""
@@ -994,7 +1004,7 @@ def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
             ON s.cell_id = c.cell_id AND s.j = c.j
         )"""
     body = "".join(step.format(i=i, next=i + 1) for i in range(n_iter))
-    tail = f"""
+    ranked = f"""
         , cnf AS (
           SELECT cell_id, sqrt(SUM(s*s)) AS nc
           FROM c{n_iter} GROUP BY cell_id
@@ -1007,7 +1017,18 @@ def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
                  row_number() OVER (PARTITION BY d.vec_id
                    ORDER BY d.d / (v.nv * c.nc) DESC, d.cell_id) AS rn
           FROM dotf d JOIN vn v USING (vec_id) JOIN cnf c USING (cell_id)
-        ), asgf AS (
+        )"""
+    return head + body + ranked
+
+
+def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
+                    n_probe: int = 4, k: int = 3,
+                    n_queries: int = 5) -> str:
+    """ann.ivf_topk in DuckDB: trained-codebook assignment from
+    :func:`_ivf_ranked_cte`, probe the top ``n_probe`` cells per
+    query, exact-re-rank candidates."""
+    tail = f"""
+        , asgf AS (
           SELECT vec_id AS neighbor_id, cell_id FROM ranked WHERE rn = 1
         ), probef AS (
           SELECT vec_id AS query_id, cell_id FROM ranked
@@ -1029,7 +1050,32 @@ def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
         )
         SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
         FROM scored WHERE rn <= {k}"""
-    return head + body + tail
+    return _ivf_ranked_cte(n_cells, n_iter) + tail
+
+
+def _semantic_dedup_oracle_sql(n_cells: int = 16, n_iter: int = 2,
+                               threshold: float = 0.4) -> str:
+    """ann.semantic_dedup in DuckDB: rn=1 cell assignment from the
+    shared Lloyd CTE, then a vector is dropped iff some LOWER-id
+    vector in the SAME cell has cosine ≥ threshold with it
+    (min-id-wins, the SemDeDup within-cluster prune)."""
+    tail = f"""
+        , asg AS (
+          SELECT vec_id, cell_id FROM ranked WHERE rn = 1
+        ), dropped AS (
+          SELECT DISTINCT l.vec_id
+          FROM asg l JOIN asg r
+            ON l.cell_id = r.cell_id AND l.vec_id > r.vec_id
+          JOIN embeddings el ON el.vec_id = l.vec_id
+          JOIN embeddings er ON er.vec_id = r.vec_id
+          WHERE list_cosine_similarity(el.embedding::DOUBLE[],
+                                       er.embedding::DOUBLE[])
+                >= {threshold}
+        )
+        SELECT a.vec_id, CAST(a.cell_id AS INTEGER) AS cell_id,
+               d.vec_id IS NULL AS keep
+        FROM asg a LEFT JOIN dropped d ON d.vec_id = a.vec_id"""
+    return _ivf_ranked_cte(n_cells, n_iter) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1224,8 +1270,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_a, doc_b,
                    CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
             FROM cand WHERE bit_count(xor(sa, sb)) <= 16""",
-        "ann_cosine_topk": """
-            SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank
+        "semantic_dedup": _semantic_dedup_oracle_sql(),
+        # all three ANN paths in one relation; DuckDB accepts each
+        # path's full CTE chain inside a derived-table subquery
+        "ann_approx_topk": (
+            """SELECT 'exact' AS method, query_id, neighbor_id,
+                   CAST(rn AS INTEGER) AS rank
             FROM (
               SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                      row_number() OVER (
@@ -1236,10 +1286,8 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e,
                    (SELECT * FROM embeddings WHERE vec_id < 5) q
               WHERE e.vec_id != q.vec_id)
-            WHERE rn <= 3""",
-        # both approximate-ANN paths in one relation; DuckDB accepts
-        # each path's full CTE chain inside a derived-table subquery
-        "ann_approx_topk": (
+            WHERE rn <= 3
+            UNION ALL\n"""
             "SELECT 'ivf' AS method, query_id, neighbor_id, rank "
             "FROM (" + _ivf_oracle_sql() + ")\n"
             "UNION ALL\n"

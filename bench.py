@@ -188,16 +188,20 @@ def main():
         # r4 renames (queries() consolidated to 50 entries):
         # lsh_pairs → lsh_jaccard (pairs + verify), exact_dedup +
         # simhash → doc_hashes, token_stats → text_stats (+bpe+lang).
+        # r5: ann_cosine_topk → ann_approx_topk (method='exact' arm);
+        # semantic_dedup is new.
         for name in ("seen_antijoin", "pricing_summary", "top_revenue",
                      "first_wins_dedup", "politeness_topk", "minhash_sig",
-                     "lsh_jaccard", "ann_cosine_topk", "doc_hashes",
+                     "lsh_jaccard", "ann_approx_topk", "doc_hashes",
                      "text_stats",
                      "gopher_quality", "tfidf_top_terms",
                      "decontam_overlap", "unigram_logprob",
                      "training_mix", "events_asof",
                      "events_range_count",
                      # new in round 4
-                     "paragraph_dedup", "html_clean"):
+                     "paragraph_dedup", "html_clean",
+                     # new in round 5
+                     "semantic_dedup"):
             # two runs each: min → `queries`, both → `spread`
             timed(name, lambda n=name: run_query(n))
             timed(name, lambda n=name: run_query(n))
@@ -244,6 +248,8 @@ def main():
                        "crawl_rollup": "temporal_report",
                        "events_daily": "temporal_report",
                        "part_above_avg": "pricing_summary"},
+        # round-5: the exact ANN baseline joined the tagged union
+        "renamed_r5": {"ann_cosine_topk": "ann_approx_topk"},
     }))
     summary = json.dumps({
         "metric": "frontier URLs scheduled+parsed/sec "

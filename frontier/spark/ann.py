@@ -91,27 +91,50 @@ def sign_sketch(df: DataFrame, vec_col: str, dim: int | None,
     """Attach LSH band keys: per band, a ``bits_per_band``-bit sign
     sketch of the vector against fixed hyperplanes.
 
-    ``dim`` given → each hyperplane ships as ONE array literal
-    (``F.lit(list)``), n_bands×bits plan nodes total instead of
-    n_bands×bits×dim scalar literals (round-1 plan-bloat fix).
+    ``dim`` given → each hyperplane dot ships as ONE ``F.expr`` SQL
+    string (array literal + aggregate/zip_with lambdas parsed in a
+    single JVM round-trip). Round-1 fixed the n_bands×bits×dim
+    scalar-literal plan bloat with ``F.lit(list)``; round 5 measured
+    the remaining DRIVER cost — ~2 s per sketch call of py4j
+    element-wise literal conversion and lambda marshalling (64 dots
+    × 64 dims) — and moved the whole dot into SQL text: same
+    arithmetic (±1.0 doubles, left-fold sum), ~20× less py4j.
     ``dim=None`` → hyperplane weights are computed per element with
     JVM md5 (same values), no dim needed and no driver-side action —
     right for ad-hoc queries; pass dim explicitly in hot pipelines.
     """
     v = _as_double(F.col(vec_col))
+    if dim is not None:
+        # the SQL-text dots reference the cast vector through the
+        # `_skv` helper column (one definition, bands×bits uses)
+        bands_sql = []
+        for band in range(n_bands):
+            terms = []
+            for bit in range(bits_per_band):
+                hp_sql = "array(" + ",".join(
+                    f"{w}D" for w in _hyperplane(dim, bit, band)) + ")"
+                dot = (f"aggregate(zip_with(_skv, {hp_sql}, "
+                       f"(x, y) -> x * y), "
+                       f"cast(0.0 as double), (acc, x) -> acc + x)")
+                terms.append(f"(CASE WHEN {dot} >= 0D "
+                             f"THEN {1 << bit} ELSE 0 END)")
+            bands_sql.append(
+                f"named_struct('band', {band}, "
+                f"'key', CAST({' + '.join(terms)} AS INT))")
+        return (df.withColumn("_skv", v)
+                .withColumn("bands",
+                            F.expr("array(" + ", ".join(bands_sql)
+                                   + ")"))
+                .drop("_skv"))
     band_structs = []
     for band in range(n_bands):
         bits = None
         for bit in range(bits_per_band):
-            if dim is not None:
-                hp = F.lit(_hyperplane(dim, bit, band))
-                dot = _dot(v, hp)
-            else:
-                w = _hyperplane_dyn(bit, band)
-                idx = F.sequence(F.lit(0), F.size(v) - 1)
-                dot = F.aggregate(
-                    F.zip_with(v, idx, lambda x, d: x * w(d)),
-                    F.lit(0.0), lambda acc, x: acc + x)
+            w = _hyperplane_dyn(bit, band)
+            idx = F.sequence(F.lit(0), F.size(v) - 1)
+            dot = F.aggregate(
+                F.zip_with(v, idx, lambda x, d: x * w(d)),
+                F.lit(0.0), lambda acc, x: acc + x)
             sign = (dot >= 0).cast("int")
             term = sign * F.lit(1 << bit)
             bits = term if bits is None else bits + term
@@ -319,3 +342,54 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
+                   n_iter: int = 2, threshold: float = 0.4
+                   ) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the SAME
+    deterministic Lloyd-trained coarse quantizer as :func:`ivf_topk`,
+    then prune near-duplicates WITHIN each cluster only — a vector is
+    dropped iff some lower-id vector in its cell has cosine ≥
+    ``threshold`` with it (min-id-wins, the same survivor rule as
+    ``textops.exact_dedup``).
+
+    Returns one row per input vector: (vec_id, cell_id, keep) — the
+    full assignment, so callers get survivors AND casualties from one
+    relation (jobs/curate.py's optional semantic gate consumes the
+    casualties).
+
+    Scale path: the pairwise check is an equi-join on cell_id, so the
+    work is Σ|cell|² instead of n² — exactly the paper's point. At
+    10⁹ vectors you raise ``n_cells`` (the paper uses ~10⁵ clusters)
+    to keep cells bounded; assignment stays one broadcast-codebook
+    narrow map per vector. Never an all-pairs product over the
+    vectors — the plan test pins the prune to an equi-join on
+    cell_id (the only nested-loop crosses are the bounded
+    broadcast-codebook assignment maps, as in :func:`ivf_topk`).
+    """
+    cents = ivf_codebook(embeddings, n_cells, n_iter)
+    emb = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"),
+        _quantize("embedding").alias("vq"))
+    asg = _ivf_assign(emb, "vq", "vec_id", cents, 1).drop("vq")
+    left = asg.select(F.col("vec_id").alias("_lid"),
+                      F.col("cell_id").alias("_lcell"),
+                      F.col("v").alias("_lv"))
+    right = asg.select(F.col("vec_id").alias("_rid"),
+                       F.col("cell_id").alias("_rcell"),
+                       F.col("v").alias("_rv"))
+    cos = _dot(F.col("_lv"), F.col("_rv")) / \
+        (_norm(F.col("_lv")) * _norm(F.col("_rv")))
+    dropped = (left.join(right,
+                         (F.col("_lcell") == F.col("_rcell")) &
+                         (F.col("_lid") > F.col("_rid")))
+               .where(cos >= threshold)
+               .select(F.col("_lid").alias("vec_id"))
+               .distinct()
+               .withColumn("_dropped", F.lit(True)))
+    return (asg.join(dropped, "vec_id", "left")
+            .select("vec_id", "cell_id",
+                    F.coalesce(~F.col("_dropped"), F.lit(True))
+                    .alias("keep")))

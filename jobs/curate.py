@@ -25,6 +25,13 @@ into ONE Spark plan — flags are columns, not separate passes):
    deliberately-iterative stage (O(log d) star rounds, each
    checkpointed); its small (doc_id, cluster_id) result joins back
    into the single selection plan;
+5b. optional SEMANTIC dedup (``--semantic-dedup``, SemDeDup —
+   Abbas et al. 2023): embeddings clustered by the deterministic
+   Lloyd-IVF codebook, within-cluster cosine ≥
+   ``--semantic-threshold`` prunes all but the min-id
+   representative (``ann.semantic_dedup``). Needs the sf-dir's
+   ``embeddings.parquet`` (vec_id keyed like doc_id), so it is off
+   by default and unavailable under ``--from-crawl``;
 6. benchmark decontamination (``decontam_overlap`` — zero 8-gram
    overlap required) against ``--eval-dir`` (a held-out benchmark
    parquet with a ``text`` column) or, when absent, a deterministic
@@ -51,7 +58,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
-                eval_docs=None):
+                eval_docs=None, semantic_casualties=None):
     """The curation gates as boolean columns over ``docs`` — the
     job's whole selection logic, importable for tests.
 
@@ -63,6 +70,12 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
     decontamination gate; None falls back to the deterministic
     doc_id % 97 self-slice (those docs self-overlap and are dropped —
     the oracle-pinned demo behavior).
+
+    ``semantic_casualties``: optional (doc_id) relation of semantic
+    near-dup casualties (from ``ann.semantic_dedup`` with keep =
+    false); docs listed are dropped, absent docs kept — a casualty
+    list like the fuzzy-dedup gate, so docs without an embedding are
+    never penalized.
     """
     from pyspark.sql import functions as F
 
@@ -108,6 +121,10 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
         ("q_neardup",
          non_reps.select("doc_id", F.lit(False).alias("q_neardup")),
          True),
+        *([("q_semantic",
+            semantic_casualties.select(
+                "doc_id", F.lit(False).alias("q_semantic")),
+            True)] if semantic_casualties is not None else []),
         ("q_decontam",
          textops.decontam_overlap(docs, eval_docs)
          .select("doc_id", (F.col("n_overlap") == 0)
@@ -148,6 +165,15 @@ def main():
                          "deterministic doc_id%%97 self-slice")
     ap.add_argument("--min-lp", type=int, default=-3_405_000,
                     help="unigram mean log-prob floor (micro-nats)")
+    ap.add_argument("--semantic-dedup", action="store_true",
+                    help="add the SemDeDup gate: cluster the sf-dir's "
+                         "embeddings.parquet with the Lloyd-IVF "
+                         "codebook and drop within-cluster cosine "
+                         "near-dups (min-id survivor). Unavailable "
+                         "with --from-crawl (no embeddings)")
+    ap.add_argument("--semantic-threshold", type=float, default=0.4,
+                    help="within-cluster cosine at or above which a "
+                         "higher-id doc is a semantic duplicate")
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -189,10 +215,24 @@ def main():
                  if args.eval_dir else None)
     eval_source = "external" if args.eval_dir \
         else "self_modulo_fallback"
+    semantic_casualties = None
+    if args.semantic_dedup:
+        if args.from_crawl:
+            ap.error("--semantic-dedup needs the sf-dir embeddings "
+                     "table; it is unavailable with --from-crawl")
+        from frontier.spark import ann
+        emb = spark.read.parquet(
+            os.path.join(args.sf_dir, "embeddings.parquet"))
+        semantic_casualties = (
+            ann.semantic_dedup(emb,
+                               threshold=args.semantic_threshold)
+            .where(~F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id")))
     flagged, flag_cols = build_flags(
         docs, max_dup_para=args.max_dup_para,
         min_jaccard=args.min_jaccard, min_lp=args.min_lp,
-        eval_docs=eval_docs)
+        eval_docs=eval_docs,
+        semantic_casualties=semantic_casualties)
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))
@@ -213,6 +253,8 @@ def main():
         "n_selected": n_out,
         "eval_source": eval_source,
         "min_jaccard": args.min_jaccard,
+        **({"semantic_threshold": args.semantic_threshold}
+           if args.semantic_dedup else {}),
         "wall_sec": round(time.perf_counter() - t0, 2),
     }))
     spark.stop()

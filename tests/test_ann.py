@@ -177,3 +177,61 @@ def test_ivf_codebook_deterministic_and_nonempty(emb):
     # every centroid element is an exact integer-valued double
     for c in a.values():
         assert all(x == int(x) for x in c)
+
+
+def test_semantic_dedup_prune_rule_matches_numpy(emb):
+    """The SemDeDup rule, checked against numpy given the operator's
+    own cell assignment: vec i is dropped iff SOME j < i in the same
+    cell has cosine(i, j) >= threshold — and never otherwise."""
+    df, vecs = emb
+    thr = 0.3
+    rows = ann.semantic_dedup(df, n_cells=8, n_iter=1,
+                              threshold=thr).collect()
+    assert len(rows) == N
+    assert {r.vec_id for r in rows} == set(range(N))
+    cell = {r.vec_id: r.cell_id for r in rows}
+    keep = {r.vec_id: r.keep for r in rows}
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    for i in range(N):
+        dup = any(cell[j] == cell[i] and sims[i, j] >= thr
+                  for j in range(i))
+        assert keep[i] == (not dup), i
+    # the threshold must actually bite on this corpus
+    assert 0 < sum(not k for k in keep.values()) < N
+
+
+def test_semantic_dedup_drops_planted_duplicates(emb):
+    """Exact copies (higher vec_id) land in their original's cell
+    (assignment is a deterministic function of the vector) and are
+    pruned; the originals survive (min-id wins)."""
+    df, _ = emb
+    dups = df.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label")
+    rows = {r.vec_id: r for r in
+            ann.semantic_dedup(df.unionByName(dups), n_cells=8,
+                               n_iter=1, threshold=0.99).collect()}
+    for i in range(5):
+        assert rows[1000 + i].cell_id == rows[i].cell_id, i
+        assert not rows[1000 + i].keep, i
+        assert rows[i].keep, i
+
+
+def test_semantic_dedup_plan_no_cartesian(emb):
+    """The within-cell prune must be an equi-join on cell_id — never
+    an all-pairs product (the 10^9-vector scale contract). The only
+    nested-loop joins allowed are the broadcast-codebook assignment
+    crosses (BuildRight against the ≤ n_cells centroid relation, the
+    same bounded pattern ivf_topk uses)."""
+    df, _ = emb
+    plan = ann.semantic_dedup(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    # the vector-vs-vector prune is an equi-join on the cell key
+    assert any("SortMergeJoin [_lcell" in ln or
+               "ShuffledHashJoin [_lcell" in ln
+               for ln in plan.splitlines()), plan

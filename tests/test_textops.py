@@ -695,3 +695,72 @@ def test_curate_external_eval_dir(spark, tmp_path):
             F.lit(0).cast("long").alias("doc_id"), "text"))
     n_clean = flagged.where(F.col("q_decontam")).count()
     assert n_clean == 50  # nothing self-drops against external eval
+
+
+def test_curate_semantic_gate_flags_exact_casualties(spark):
+    """The q_semantic gate is a casualty list: False exactly for
+    ann.semantic_dedup's keep=false vec_ids, True for every other
+    doc — including docs with no embedding row at all (absent →
+    kept, same contract as the fuzzy-dedup gate)."""
+    from frontier.spark import ann
+    from jobs.curate import build_flags
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text", "lang")
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    casualties_df = (ann.semantic_dedup(emb, threshold=0.4)
+                     .where(~F.col("keep"))
+                     .select(F.col("vec_id").alias("doc_id")))
+    casualties = {r.doc_id for r in casualties_df.collect()}
+    assert casualties  # the threshold bites on this corpus
+
+    flagged, flag_cols = build_flags(
+        docs, semantic_casualties=casualties_df)
+    assert "q_semantic" in flag_cols
+    got_dropped = {r.doc_id for r in
+                   flagged.where(~F.col("q_semantic"))
+                   .select("doc_id").collect()}
+    assert got_dropped == casualties
+    # docs outside the casualty list keep True (spot the absent-doc
+    # default): every one of the 500 rows has a boolean, none null
+    assert flagged.where(F.col("q_semantic").isNull()).count() == 0
+
+
+def test_curate_cli_semantic_dedup(spark, tmp_path):
+    """--semantic-dedup end-to-end: the JSON stats carry the gate's
+    survivor count and threshold, and no semantic casualty reaches
+    the curated output."""
+    import json
+    import sys
+    from unittest import mock
+
+    import jobs.curate as curate
+    from frontier.spark import ann
+
+    out = str(tmp_path / "curated_sem")
+    argv = ["curate.py", "--sf-dir", "/root/testdata/sf0.01",
+            "--out", out, "--semantic-dedup"]
+    printed = []
+    with mock.patch.object(sys, "argv", argv), \
+            mock.patch("builtins.print",
+                       side_effect=lambda s: printed.append(s)):
+        with mock.patch("frontier.spark.session.get_spark",
+                        lambda **kw: spark):
+            with mock.patch.object(spark, "stop", lambda: None):
+                curate.main()
+    stats = json.loads(printed[-1])
+    casualties = {r.vec_id for r in
+                  ann.semantic_dedup(
+                      spark.read.parquet(
+                          "/root/testdata/sf0.01/embeddings.parquet"),
+                      threshold=0.4)
+                  .where(~F.col("keep")).collect()}
+    assert stats["q_semantic"] == stats["n_docs"] - len(casualties)
+    assert stats["semantic_threshold"] == 0.4
+    got = {r.doc_id for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    assert got and not (got & casualties)
+    # the gate only ever REMOVES docs vs the documented 299 baseline
+    assert stats["n_selected"] == len(got) <= 299
