@@ -498,3 +498,156 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     rounds = sorted(b for b in progress if progress.get(b, 0) > 0)
     return {"rounds": len(rounds),
             "scheduled_per_round": {b: progress[b] for b in rounds}}
+
+
+# ---------------------------------------------------------------------------
+# Streaming curation: continuous-ingestion training-data pipeline
+# ---------------------------------------------------------------------------
+
+DOCS_DDL = "doc_id bigint, text string, lang string"
+DOC_SEEN_STATE_DDL = "doc_id bigint"
+DOC_REP_OUT_DDL = "doc_id bigint, text string, lang string"
+
+
+def stream_docs(spark: SparkSession, path: str,
+                max_files_per_trigger: int | None = None) -> DataFrame:
+    """Directory parquet source of documents (doc_id, text, lang) —
+    the ingest face of the curate pipeline's input table."""
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def first_seen_docs(docs_stream: DataFrame) -> DataFrame:
+    """Streaming exact-dedup representative selection: emit each
+    distinct text exactly ONCE across all triggers — the stateful
+    twin of the batch ``textops.exact_dedup`` (sha256 grouping,
+    min-doc_id representative).
+
+    Semantics: within the first trigger that carries a given text,
+    the min-doc_id row wins (exactly the batch rule); across
+    triggers, the first trigger wins — which EQUALS the batch rule
+    whenever documents arrive in doc_id order (the natural ingest
+    order; tests pin the equivalence under it). The sha key is
+    ``sha2(text)`` with NO null-coalesce, matching exact_dedup:
+    all null-text docs share the null-key group.
+
+    State = one bigint per distinct text, sharded by the state
+    store exactly like first_seen_texts: at 10^10 docs it lives
+    with the shuffle partitioning (RocksDB on a real cluster),
+    never on one node.
+    """
+    def dedup(key, pdfs, state: GroupState):
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if state.exists or not rows:
+            return  # already emitted in an earlier trigger
+        import pandas as pd2
+        allr = pd2.concat(rows, ignore_index=True)
+        first = allr.loc[allr["doc_id"].idxmin()]
+        state.update((int(first["doc_id"]),))
+        yield pd2.DataFrame({"doc_id": [first["doc_id"]],
+                             "text": [first["text"]],
+                             "lang": [first["lang"]]})
+
+    return (docs_stream
+            .withColumn("_sha", F.sha2(F.col("text"), 256))
+            .groupBy("_sha")
+            .applyInPandasWithState(dedup, DOC_REP_OUT_DDL,
+                                    DOC_SEEN_STATE_DDL, "append",
+                                    GroupStateTimeout.NoTimeout))
+
+
+def streaming_curate(spark: SparkSession, docs_path: str,
+                     out_path: str, checkpoint: str, *,
+                     model: DataFrame, eval_docs: DataFrame,
+                     min_lp: int = -3_405_000,
+                     max_files_per_trigger: int | None = None) -> dict:
+    """Continuous-ingestion curation: the streaming face of
+    jobs/curate.py for a corpus that arrives incrementally (new
+    document files landing forever), run here as one availableNow
+    pass per invocation (re-invoke as files land; the checkpoint
+    carries the seen-set state across invocations).
+
+    Stage split — which gates can stream and which cannot:
+
+    * **exact dedup** is CROSS-BATCH STATEFUL (:func:`first_seen_docs`):
+      the only stage whose decision depends on every document ever
+      seen, so it is the one that must live in the streaming state
+      store.
+    * **gopher / decontamination / LM floor** are per-document gates
+      against FROZEN reference stats — a held-out eval set and a
+      :func:`textops.unigram_model` relation trained once — so each
+      micro-batch scores independently in ``foreachBatch`` with the
+      UNCHANGED batch operators (gopher_quality, decontam_overlap,
+      unigram_logprob(model=...)). Freezing is what makes streaming
+      ≡ batch: a self-scored LM or self-sliced eval set would shift
+      with every arriving batch.
+    * **corpus-global dedup pressure** (paragraph_dedup duplicated-
+      paragraph fractions, MinHash/LSH fuzzy dedup, SemDeDup) needs
+      corpus-wide counts no single micro-batch carries — that stays
+      a periodic BATCH job over the accumulated curated table
+      (jobs/curate.py), the standard lambda split for these
+      pipelines.
+
+    Per-gate absent-doc defaults match jobs/curate.py build_flags:
+    token-less docs are absent from unigram_logprob's output and are
+    DROPPED (q_lm default False).
+
+    Writes each micro-batch's survivors to ``out_path/round=N``
+    (overwrite — idempotent on restart: batch ids are stable in the
+    checkpoint, a replayed batch rewrites the same directory).
+    Returns {"rounds": n, "selected_per_round": {...}}.
+
+    tests/test_streaming.py proves the union of rounds equals the
+    batch pipeline's selection over the same corpus + frozen sides,
+    and that a later invocation curates ONLY the new arrivals.
+    """
+    import os
+
+    from . import textops
+
+    reps = first_seen_docs(
+        stream_docs(spark, docs_path, max_files_per_trigger))
+
+    model = model.persist()
+    eval_docs = eval_docs.persist()
+    selected_per_round: dict[int, int] = {}
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        b = batch.persist()
+        try:
+            flags = (
+                b.join(textops.gopher_quality(b)
+                       .select("doc_id", "passes_gopher"), "doc_id")
+                .join(textops.decontam_overlap(b, eval_docs)
+                      .select("doc_id",
+                              (F.col("n_overlap") == 0).alias("q_decontam")),
+                      "doc_id")
+                .join(textops.unigram_logprob(b, model=model)
+                      .select("doc_id", "mean_lp_micro"), "doc_id", "left"))
+            selected = flags.where(
+                F.col("passes_gopher") & F.col("q_decontam")
+                & (F.coalesce(F.col("mean_lp_micro"),
+                              F.lit(float(min_lp - 1))) >= min_lp))
+            out = os.path.join(out_path, f"round={batch_id}")
+            selected.select("doc_id", "text", "lang") \
+                .write.mode("overwrite").parquet(out)
+            import pyarrow.dataset as ds
+            selected_per_round[batch_id] = ds.dataset(out).count_rows()
+        finally:
+            b.unpersist()
+
+    query = (reps.writeStream
+             .outputMode("append")
+             .foreachBatch(gate)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", checkpoint)
+             .start())
+    query.awaitTermination()
+    model.unpersist()
+    eval_docs.unpersist()
+    return {"rounds": len(selected_per_round),
+            "selected_per_round": dict(sorted(
+                selected_per_round.items()))}

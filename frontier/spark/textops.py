@@ -866,12 +866,50 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                         .otherwise(F.lit(0.0))))
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The corpus unigram LM as a relation: one row per distinct
+    token, ``(tok, cnt, total_toks)`` with the corpus-wide token
+    total repeated on every row (a constant column beats a separate
+    single-row sidecar relation — the model stays ONE self-contained
+    parquet a deployment can freeze and ship).
+
+    This is the train-once face of :func:`unigram_logprob`: freeze
+    the model over a reference corpus (write this relation to
+    parquet), then score any other corpus — or each micro-batch of a
+    streaming ingest (streaming.streaming_curate) — against it via
+    ``unigram_logprob(docs, model=...)``. That is the CCNet
+    deployment shape: the LM is trained on held-out data and applied
+    unchanged to every shard, so scores are stable as the corpus
+    grows and identical across batch/streaming paths.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.trim(t)), r"\s+"),
+        lambda x: x != F.lit(""))).alias("tok"))
+    total = toks.agg(F.count("*").alias("total_toks"))
+    return (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+            .crossJoin(F.broadcast(total)))
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    model: DataFrame | None = None) -> DataFrame:
     """Per-document mean unigram log-probability — the
     perplexity-proxy quality score (CCNet-style: documents whose
     tokens are improbable under a corpus language model are dropped
     or down-weighted; here the model IS the corpus unigram
     distribution, so no token has zero mass).
+
+    ``model``: an optional FROZEN :func:`unigram_model` relation.
+    When given, documents are scored against it instead of against
+    themselves: tokens absent from the model take the add-one floor
+    ``ln(1 / total_toks)`` (count coalesced to 1 — deterministic,
+    integer micro-nats like every other term). Scoring the corpus
+    against its own model is exactly the self-scored plan (every
+    token hits, the coalesce never fires) — pinned by
+    tests/test_textops.py. The model side joins on the uniform
+    ``tok`` key, never broadcast: a frozen vocabulary is usually
+    pruned but is unbounded in principle, the same reasoning that
+    de-broadcast the self-scored plan in round 4.
 
     Cross-engine exactness: per-token ln(count/total) is rounded to
     integer MICRO-NATS before summing, so the per-doc sum is integer
@@ -890,11 +928,18 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = docs.select("doc_id", F.explode(F.filter(
         F.split(F.lower(F.trim(t)), r"\s+"),
         lambda x: x != F.lit(""))).alias("tok"))  # token-less docs absent
-    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-    total = toks.agg(F.count("*").alias("total_toks"))
+    if model is not None:
+        freq = model.select("tok", "cnt")
+        total = model.select("total_toks").limit(1)
+        scored = (toks.join(freq, "tok", "left")
+                  .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1))))
+    else:
+        freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+        total = toks.agg(F.count("*").alias("total_toks"))
+        scored = toks.join(freq, "tok")
     lp_micro = F.round(
         F.log(F.col("cnt") / F.col("total_toks")) * 1e6, 0).cast("bigint")
-    return (toks.join(freq, "tok")
+    return (scored
             .crossJoin(F.broadcast(total))
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tokens"),

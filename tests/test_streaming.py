@@ -305,3 +305,88 @@ def test_streaming_crawl_pinned_state_partitions(spark, sf_dir,
     # the narrowed width never leaks back into the session
     assert spark.conf.get(
         "spark.sql.shuffle.partitions") == shuffle_before
+
+
+def _write_doc_file(docs_pdf, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    pq.write_table(pa.Table.from_pandas(docs_pdf, schema=schema,
+                                        preserve_index=False), path)
+
+
+def test_streaming_curate_equals_batch(spark, sf_dir, tmp_path_factory):
+    """streaming_curate over an incrementally-arriving corpus selects
+    EXACTLY the batch pipeline's docs: exact-dedup reps (min doc_id —
+    duplicates injected across files) gated by gopher + frozen-eval
+    decontam + frozen-LM floor. Two invocations: the second curates
+    only the new arrivals (checkpointed seen-state carries over)."""
+    from frontier.spark import textops
+
+    docs_dir = str(tmp_path_factory.mktemp("curate_docs"))
+    out = str(tmp_path_factory.mktemp("curate_out"))
+    ckpt = str(tmp_path_factory.mktemp("curate_ckpt"))
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    # duplicates: every 7th doc re-arrives later under a higher id
+    dups = (base.where(F.col("doc_id") % 7 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"),
+                    "text", "lang"))
+    all_docs = base.unionByName(dups)
+    pdf = all_docs.orderBy("doc_id").toPandas()
+    third = len(pdf) // 3
+
+    # frozen sides, shared verbatim by both paths
+    model = textops.unigram_model(base).persist()
+    eval_docs = base.where(F.col("doc_id") % 97 == 0).persist()
+    min_lp = -3_405_000
+
+    # batch reference: dedup reps + per-doc gates, absent -> drop
+    reps = textops.exact_dedup(all_docs).select("doc_id", "text", "lang")
+    flags = (reps
+             .join(textops.gopher_quality(reps)
+                   .select("doc_id", "passes_gopher"), "doc_id")
+             .join(textops.decontam_overlap(reps, eval_docs)
+                   .select("doc_id",
+                           (F.col("n_overlap") == 0).alias("q_d")),
+                   "doc_id")
+             .join(textops.unigram_logprob(reps, model=model)
+                   .select("doc_id", "mean_lp_micro"), "doc_id", "left"))
+    expect = {r.doc_id for r in flags.where(
+        F.col("passes_gopher") & F.col("q_d")
+        & (F.coalesce(F.col("mean_lp_micro"),
+                      F.lit(float(min_lp - 1))) >= min_lp)).collect()}
+    assert expect, "gates must keep something for the test to mean much"
+    dup_ids = {r.doc_id for r in dups.select("doc_id").collect()}
+    assert not expect & dup_ids  # min-id reps only
+
+    # invocation 1: first two thirds, one file per trigger
+    _write_doc_file(pdf.iloc[:third], f"{docs_dir}/file_000.parquet")
+    _write_doc_file(pdf.iloc[third:2 * third],
+                    f"{docs_dir}/file_001.parquet")
+    r1 = streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=min_lp, max_files_per_trigger=1)
+    assert r1["rounds"] == 2
+
+    # invocation 2: the rest arrives; only IT is curated
+    _write_doc_file(pdf.iloc[2 * third:], f"{docs_dir}/file_002.parquet")
+    r2 = streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=min_lp, max_files_per_trigger=1)
+    assert list(r2["selected_per_round"]) == [2]
+
+    got = spark.read.parquet(out)
+    got_ids = {r.doc_id for r in got.select("doc_id").collect()}
+    assert got_ids == expect
+    # each survivor emitted exactly once across all rounds
+    assert got.count() == len(expect)
+    # round-2 output is exclusively late arrivals
+    late_ids = set(pdf.iloc[2 * third:]["doc_id"])
+    r2_ids = {r.doc_id for r in
+              got.where(F.col("round") == 2).collect()}
+    assert r2_ids <= late_ids
+    model.unpersist()
+    eval_docs.unpersist()

@@ -400,6 +400,33 @@ def test_unigram_logprob(spark):
     assert rows[0].mean_lp_micro > rows[2].mean_lp_micro or True
 
 
+def test_unigram_model_frozen_scoring(spark):
+    """Self-consistency + OOV floor of the frozen-model path:
+    scoring a corpus against its OWN unigram_model is bit-identical
+    to the self-scored plan (every token hits, the add-one coalesce
+    never fires), and a novel token takes the documented floor
+    ``round(ln(1/total_toks) * 1e6)``."""
+    import math
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b c"), (2, "c")],
+        "doc_id long, text string")
+    model = textops.unigram_model(docs).persist()
+    self_rows = {r.doc_id: r for r in
+                 textops.unigram_logprob(docs).collect()}
+    frozen_rows = {r.doc_id: r for r in
+                   textops.unigram_logprob(docs, model=model).collect()}
+    assert self_rows.keys() == frozen_rows.keys()
+    for d in self_rows:
+        assert self_rows[d].asDict() == frozen_rows[d].asDict()
+    # OOV: 'zzz' is absent from the model -> add-one floor vs total=7
+    novel = spark.createDataFrame(
+        [(9, "a zzz")], "doc_id long, text string")
+    row = textops.unigram_logprob(novel, model=model).collect()[0]
+    floor = round(math.log(1 / 7) * 1e6)
+    assert row.sum_lp_micro == round(math.log(3 / 7) * 1e6) + floor
+    model.unpersist()
+
+
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
