@@ -43,6 +43,15 @@ into ONE Spark plan — flags are columns, not separate passes):
 Writes the curated ``(doc_id, text, lang)`` parquet and prints one
 JSON line with per-gate survivor counts (computed from ONE
 aggregation over the flag columns — no per-gate actions).
+
+``--streaming-in DIR`` switches to the continuous-ingestion mode
+(streaming.streaming_curate): document files landing in DIR are
+curated incrementally — cross-batch stateful exact dedup plus the
+per-document gates (gopher, decontamination, LM floor) scored
+against FROZEN stats persisted beside ``--checkpoint`` on the first
+invocation. Corpus-global stages (paragraph/fuzzy/semantic dedup)
+remain this batch job, run periodically over the accumulated
+curated table.
 """
 
 from __future__ import annotations
@@ -58,7 +67,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
-                eval_docs=None, semantic_casualties=None):
+                eval_docs=None, semantic_casualties=None,
+                lm_model=None):
     """The curation gates as boolean columns over ``docs`` — the
     job's whole selection logic, importable for tests.
 
@@ -76,6 +86,10 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
     false); docs listed are dropped, absent docs kept — a casualty
     list like the fuzzy-dedup gate, so docs without an embedding are
     never penalized.
+
+    ``lm_model``: optional FROZEN ``textops.unigram_model`` relation
+    for the q_lm gate; None keeps the self-scored default (the
+    oracle-pinned behavior).
     """
     from pyspark.sql import functions as F
 
@@ -131,7 +145,7 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
                  .alias("q_decontam")),
          False),
         ("q_lm",
-         textops.unigram_logprob(docs)
+         textops.unigram_logprob(docs, model=lm_model)
          .select("doc_id", (F.col("mean_lp_micro") >= min_lp)
                  .alias("q_lm")),
          False),
@@ -165,6 +179,25 @@ def main():
                          "deterministic doc_id%%97 self-slice")
     ap.add_argument("--min-lp", type=int, default=-3_405_000,
                     help="unigram mean log-prob floor (micro-nats)")
+    ap.add_argument("--lm-model", metavar="PARQUET",
+                    help="FROZEN textops.unigram_model parquet for "
+                         "the LM gate; defaults to self-scoring the "
+                         "input corpus (the oracle-pinned demo)")
+    ap.add_argument("--streaming-in", metavar="DIR",
+                    help="continuous-ingestion mode: curate document "
+                         "parquet files landing in DIR via "
+                         "streaming.streaming_curate (stateful "
+                         "cross-batch exact dedup + frozen-stats "
+                         "per-doc gates). Re-invoke as files arrive; "
+                         "--checkpoint carries seen-state and frozen "
+                         "sides across invocations. Corpus-global "
+                         "stages (paragraph/fuzzy/semantic dedup) "
+                         "stay the periodic batch job")
+    ap.add_argument("--checkpoint", metavar="DIR",
+                    help="streaming checkpoint dir (required with "
+                         "--streaming-in); the frozen LM/eval sides "
+                         "are persisted beside it on the first "
+                         "invocation")
     ap.add_argument("--semantic-dedup", action="store_true",
                     help="add the SemDeDup gate: cluster the sf-dir's "
                          "embeddings.parquet with the Lloyd-IVF "
@@ -185,6 +218,52 @@ def main():
 
     spark = get_spark(app="frontier-curate", cores=args.cpus)
     t0 = time.perf_counter()
+
+    if args.streaming_in:
+        if not args.checkpoint:
+            ap.error("--streaming-in requires --checkpoint")
+        if args.from_crawl or args.semantic_dedup or args.html_wrapped:
+            ap.error("--streaming-in is incompatible with "
+                     "--from-crawl/--semantic-dedup/--html-wrapped")
+        from frontier.spark import streaming, textops
+
+        # freeze the reference sides ONCE, beside the checkpoint:
+        # every later invocation must score new arrivals against the
+        # SAME stats or streaming selection drifts from batch
+        model_path = args.checkpoint.rstrip("/") + "_model"
+        eval_path = args.checkpoint.rstrip("/") + "_eval"
+        if not os.path.exists(model_path):
+            (spark.read.parquet(args.lm_model) if args.lm_model
+             else textops.unigram_model(
+                 spark.read.parquet(
+                     os.path.join(args.sf_dir, "documents.parquet")))) \
+                .write.parquet(model_path)
+        if not os.path.exists(eval_path):
+            ev = (spark.read.parquet(args.eval_dir)
+                  .select(F.lit(0).cast("long").alias("doc_id"), "text")
+                  if args.eval_dir else
+                  spark.read.parquet(
+                      os.path.join(args.sf_dir, "documents.parquet"))
+                  .select("doc_id", "text")
+                  .where(F.col("doc_id") % 97 == 0))
+            ev.write.parquet(eval_path)
+        res = streaming.streaming_curate(
+            spark, args.streaming_in, args.out, args.checkpoint,
+            model=spark.read.parquet(model_path),
+            eval_docs=spark.read.parquet(eval_path),
+            min_lp=args.min_lp)
+        print(json.dumps({
+            "streaming": True,
+            "rounds": res["rounds"],
+            "selected_per_round": res["selected_per_round"],
+            "n_selected_new": sum(res["selected_per_round"].values()),
+            "eval_source": "external" if args.eval_dir
+            else "self_modulo_fallback",
+            "lm_source": "external" if args.lm_model else "sf_dir",
+            "wall_sec": round(time.perf_counter() - t0, 2),
+        }))
+        spark.stop()
+        return
 
     if args.from_crawl:
         from frontier.spark import crawl
@@ -232,7 +311,9 @@ def main():
         docs, max_dup_para=args.max_dup_para,
         min_jaccard=args.min_jaccard, min_lp=args.min_lp,
         eval_docs=eval_docs,
-        semantic_casualties=semantic_casualties)
+        semantic_casualties=semantic_casualties,
+        lm_model=(spark.read.parquet(args.lm_model)
+                  if args.lm_model else None))
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))

@@ -791,3 +791,65 @@ def test_curate_cli_semantic_dedup(spark, tmp_path):
     assert got and not (got & casualties)
     # the gate only ever REMOVES docs vs the documented 299 baseline
     assert stats["n_selected"] == len(got) <= 299
+
+
+def test_curate_streaming_cli(spark, tmp_path):
+    """jobs/curate.py --streaming-in: the continuous-ingestion mode
+    freezes the LM/eval sides beside the checkpoint on the first
+    invocation and curates ONLY the new arrivals on the next."""
+    import json
+    import os
+    import sys
+    from unittest import mock
+
+    import jobs.curate as curate
+
+    docs_dir = str(tmp_path / "in")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+    base = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "lang").orderBy("doc_id")
+            .toPandas())
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string())])
+
+    def invoke():
+        printed = []
+        argv = ["curate.py", "--sf-dir", "/root/testdata/sf0.001",
+                "--streaming-in", docs_dir, "--out", out,
+                "--checkpoint", ckpt]
+        with mock.patch.object(sys, "argv", argv), \
+                mock.patch("builtins.print",
+                           side_effect=lambda s: printed.append(s)), \
+                mock.patch.object(curate, "get_spark",
+                                  lambda **kw: spark, create=True), \
+                mock.patch("frontier.spark.session.get_spark",
+                           lambda **kw: spark), \
+                mock.patch.object(spark, "stop", lambda: None):
+            curate.main()
+        return json.loads(printed[-1])
+
+    pq.write_table(pa.Table.from_pandas(
+        base.iloc[:250], schema=schema, preserve_index=False),
+        f"{docs_dir}/f0.parquet")
+    s1 = invoke()
+    assert s1["streaming"] and s1["rounds"] == 1
+    assert s1["n_selected_new"] > 0
+    assert os.path.exists(ckpt + "_model")
+    assert os.path.exists(ckpt + "_eval")
+
+    # second invocation: rest of the corpus plus a duplicate text
+    dup = base.iloc[:1].assign(doc_id=[999999])
+    import pandas as pd
+    pq.write_table(pa.Table.from_pandas(
+        pd.concat([base.iloc[250:], dup]), schema=schema,
+        preserve_index=False), f"{docs_dir}/f1.parquet")
+    s2 = invoke()
+    assert list(s2["selected_per_round"]) in ([1], ["1"])
+    got = spark.read.parquet(out)
+    # the duplicate never re-emits; totals add up across invocations
+    assert got.where(F.col("doc_id") == 999999).count() == 0
+    assert got.count() == s1["n_selected_new"] + s2["n_selected_new"]
