@@ -224,8 +224,16 @@ def _frontier_state_fn(budget_per_host: int):
     by host across executors (RocksDB on a real cluster); a hot
     host's blob rewrite per trigger is the same O(host-frontier)
     cost the batch loop pays re-sorting that host's rows. (The
-    row-per-url state layout of transformWithState would avoid even
-    that; not yet in pyspark's applyInPandasWithState.)
+    row-per-url state layout of ``transformWithStateInPandas`` —
+    MapState keyed by url — would cut the per-trigger state WRITE
+    from O(host-frontier) to O(delta) and eliminate the multi-MB
+    single-cell Arrow blobs entirely. The API ships in pyspark
+    4.1.2, but its Python<->JVM state server speaks protobuf and the
+    ``google.protobuf`` runtime is absent in this container
+    [verified: the query fails at StreamingPythonRunner init with
+    ImportError], so the blob layout stays; on a real cluster with
+    protobuf installed, porting this fn to a StatefulProcessor is
+    the designated upgrade path.)
     """
     import pickle
     import zlib
