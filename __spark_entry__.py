@@ -296,8 +296,13 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
-    """Crawl-priority PageRank over the discovered-links graph
-    (5 fixed iterations, d=0.85) — frontier ordering by authority."""
+    """Crawl-priority authority relation (r5 consolidation:
+    pagerank ⊃ page_indegree, FIXTURES §7 — slot freed for
+    recrawl_schedule): PageRank (5 fixed iterations, d=0.85)
+    LEFT-joined with the in-degree aggregates over the same
+    discovered-links graph; pages nobody links to carry zero
+    counts. One hash pins the rank recurrence AND the in-degree
+    aggregation."""
     from frontier.spark import parse, textops
     res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
     links = parse.discovered_links(res) \
@@ -305,24 +310,43 @@ def q_pagerank(spark, sf_dir):
                F.col("content_type").startswith("video/"))
     edges = links.select(_doc_id("src_url").alias("src_doc"),
                          _doc_id("url").alias("dst_doc"))
-    return textops.pagerank(edges, n_iter=5, damping=0.85)
+    pr = textops.pagerank(edges, n_iter=5, damping=0.85)
+    deg = (edges.groupBy("dst_doc")
+           .agg(F.count("*").alias("n_links"),
+                F.countDistinct("src_doc").alias("n_sources")))
+    return (pr.join(deg, pr["doc_id"] == deg["dst_doc"], "left")
+            .select("doc_id", "rank_u",
+                    F.coalesce("n_links", F.lit(0)).alias("n_links"),
+                    F.coalesce("n_sources", F.lit(0))
+                    .alias("n_sources")))
 
 
-def q_page_indegree(spark, sf_dir):
-    """Web-graph in-degree from discovered links: for every linked-to
-    page, total inbound links + distinct linking pages. The graph
-    aggregation the crawl's priority function would consume."""
-    from frontier.spark import parse
-    res = parse.parse_pages(_pages(spark, sf_dir), with_content=False)
-    links = parse.discovered_links(res) \
-        .where(F.col("content_type").startswith("image/") |
-               F.col("content_type").startswith("video/"))
-    return (links
-            .select(_doc_id("src_url").alias("src_doc"),
-                    _doc_id("url").alias("dst_doc"))
-            .groupBy("dst_doc")
-            .agg(F.count("*").alias("n_links"),
-                 F.countDistinct("src_doc").alias("n_sources")))
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina /
+    Nutch AdaptiveFetchSchedule) over a deterministic fetch log
+    derived from the events table: each user_id is a URL fetched at
+    every one of its event timestamps; user_id%5 picks the page's
+    temperature — 0: hash moves every fetch (hot → min interval,
+    due), 1: hash follows floor(value/10) (mid), else: constant
+    (static → max interval, not yet due). now = 2024-02-10 UTC;
+    intervals 1-30 days."""
+    from frontier.spark import schedule
+    ev = _read(spark, sf_dir, "events")
+    version = (F.when(F.col("user_id") % 5 == 0, F.col("event_id"))
+               .when(F.col("user_id") % 5 == 1,
+                     F.floor(F.col("value") / 10))
+               .otherwise(F.lit(0)))
+    hist = ev.select(
+        F.concat(F.lit("https://site-"),
+                 (F.col("user_id") % 37).cast("string"),
+                 F.lit(".example/u/"),
+                 F.col("user_id").cast("string")).alias("url_canon"),
+        F.col("ts").alias("fetch_ts"),
+        F.md5(F.concat_ws(
+            ":", F.col("user_id").cast("string"),
+            version.cast("long").cast("string")))
+        .alias("content_sha"))
+    return schedule.recrawl_schedule(hist, now_us=1_707_523_200_000_000)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -767,7 +791,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_ivf_topk + ann_lsh_topk · mhtml_meta = header_get + text_sha
     · temporal_report = crawl_rollup + events_daily. New in r4:
     paragraph_dedup, html_clean. New in r5: semantic_dedup (slot
-    freed by folding the exact baseline into ann_approx_topk)."""
+    freed by folding the exact baseline into ann_approx_topk) and
+    recrawl_schedule (slot freed by folding page_indegree into
+    pagerank as the joined authority relation)."""
     out = {
         "mhtml_extract_text": q_mhtml_extract_text,
         "mhtml_resource_count": q_mhtml_resource_count,
@@ -815,7 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": q_events_asof,
         "events_range_count": q_events_range_count,
         "dedup_clusters": q_dedup_clusters,
-        "page_indegree": q_page_indegree,
+        "recrawl_schedule": q_recrawl_schedule,
         "pagerank": q_pagerank,
         "sessionize": q_sessionize,
         "temporal_report": q_temporal_report,
@@ -1098,17 +1124,57 @@ def oracle_sql() -> dict[str, str]:
         "mhtml_filenames": """
             SELECT doc_id, 'page' || doc_id || '.html' AS filename
             FROM documents""",
-        "pagerank": _pagerank_sql(5),
-        "page_indegree": """
-            WITH links AS (
-              SELECT d.doc_id AS src_doc,
-                     (d.doc_id*131 + 7*i.n + 1)
-                         % (SELECT COUNT(*) FROM documents) AS dst_doc
+        "pagerank": f"""
+            WITH pr AS ({_pagerank_sql(5)}),
+            deg AS (
+              SELECT (d.doc_id*131 + 7*i.n + 1)
+                         % (SELECT COUNT(*) FROM documents) AS dst_doc,
+                     COUNT(*) AS n_links,
+                     COUNT(DISTINCT d.doc_id) AS n_sources
               FROM documents d, (VALUES (0),(1),(2)) AS i(n)
-              WHERE i.n < d.doc_id % 4)
-            SELECT dst_doc, COUNT(*) AS n_links,
-                   COUNT(DISTINCT src_doc) AS n_sources
-            FROM links GROUP BY dst_doc""",
+              WHERE i.n < d.doc_id % 4
+              GROUP BY 1)
+            SELECT pr.doc_id, pr.rank_u,
+                   COALESCE(deg.n_links, 0) AS n_links,
+                   COALESCE(deg.n_sources, 0) AS n_sources
+            FROM pr LEFT JOIN deg ON deg.dst_doc = pr.doc_id""",
+        "recrawl_schedule": """
+            WITH hist AS (
+              SELECT 'https://site-' || CAST(user_id % 37 AS VARCHAR)
+                         || '.example/u/' || CAST(user_id AS VARCHAR)
+                         AS url_canon,
+                     ts AS fetch_ts,
+                     md5(CAST(user_id AS VARCHAR) || ':' ||
+                         CAST(CAST(CASE
+                             WHEN user_id % 5 = 0 THEN event_id
+                             WHEN user_id % 5 = 1
+                                 THEN floor(value / 10)
+                             ELSE 0 END AS BIGINT)
+                              AS VARCHAR)) AS content_sha
+              FROM events),
+            g AS (
+              SELECT url_canon, COUNT(*) AS n_fetches,
+                     COUNT(DISTINCT content_sha) AS n_versions,
+                     MAX(epoch_us(fetch_ts)) AS last_fetch_us
+              FROM hist GROUP BY url_canon),
+            s AS (
+              SELECT *,
+                     CAST(n_versions - 1 AS DOUBLE)
+                         / greatest(n_fetches - 1, 1) AS change_rate
+              FROM g),
+            iv AS (
+              SELECT *,
+                     2592000 - CAST(round((2592000 - 86400)
+                                          * change_rate) AS BIGINT)
+                         AS interval_sec
+              FROM s)
+            SELECT url_canon, n_fetches, n_versions, last_fetch_us,
+                   change_rate, interval_sec,
+                   last_fetch_us + interval_sec * 1000000
+                       AS next_fetch_us,
+                   last_fetch_us + interval_sec * 1000000
+                       <= 1707523200000000 AS due
+            FROM iv""",
         "urlnorm_query_sort": """
             SELECT doc_id,
                    CASE WHEN doc_id % 10 = 7 THEN '?a=1&b=2' ELSE '' END

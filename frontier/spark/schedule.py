@@ -330,3 +330,53 @@ def schedule(frontier: DataFrame, robots: DataFrame | None,
         staged = apply_robots(staged, robots).where(F.col("robots_allowed"))
     cut = politeness_cut(staged, budget_per_host)
     return fetch_order(cut, num_partitions)
+
+
+def recrawl_schedule(history: DataFrame, now_us: int,
+                     min_interval_sec: int = 86_400,
+                     max_interval_sec: int = 2_592_000) -> DataFrame:
+    """Freshness-driven revisit scheduling (Cho & Garcia-Molina,
+    "Effective Page Refresh Policies for Web Crawlers", TODS 2003 —
+    the policy Nutch's AdaptiveFetchSchedule implements): estimate
+    each URL's change rate from its fetch history and place the next
+    fetch between a min and a max revisit interval — pages that
+    changed on every revisit recrawl at ``min_interval_sec``, pages
+    that never changed decay to ``max_interval_sec``. The reference
+    has no crawl loop at all; this is mandate depth on the
+    north-rule scheduler (SURVEY §2.7 scheduling).
+
+    ``history``: one row per past fetch —
+    (url_canon, fetch_ts timestamp, content_sha). Returns one row
+    per url: n_fetches, n_versions (distinct content hashes),
+    last_fetch_us, change_rate = (n_versions−1)/max(n_fetches−1, 1),
+    interval_sec = max − round((max−min)·change_rate),
+    next_fetch_us = last_fetch_us + interval_sec·10⁶, and
+    due = next_fetch_us ≤ now_us.
+
+    Integer epoch-micros and an integer interval keep the relation
+    exact across engines (no timestamp-format hashing hazards; the
+    only float is the change rate itself). Plan shape at 10^10
+    history rows: ONE aggregation on the uniform url key with
+    map-side partial aggregation — no window, no join; slim
+    (url, ts_us, sha) tuples are all that shuffles.
+    """
+    g = (history.groupBy("url_canon")
+         .agg(F.count("*").alias("n_fetches"),
+              F.countDistinct("content_sha").alias("n_versions"),
+              # cast: accepts TIMESTAMP_NTZ parquet columns too; the
+              # session TZ is pinned UTC (session.py), so the NTZ
+              # instant matches DuckDB's epoch_us of the same column
+              F.max(F.unix_micros(F.col("fetch_ts").cast("timestamp")))
+              .alias("last_fetch_us")))
+    change = ((F.col("n_versions") - 1).cast("double")
+              / F.greatest(F.col("n_fetches") - 1, F.lit(1)))
+    span = max_interval_sec - min_interval_sec
+    return (g.withColumn("change_rate", change)
+            .withColumn("interval_sec",
+                        F.lit(max_interval_sec).cast("bigint")
+                        - F.round(F.lit(span) * F.col("change_rate"), 0)
+                        .cast("bigint"))
+            .withColumn("next_fetch_us",
+                        F.col("last_fetch_us")
+                        + F.col("interval_sec") * F.lit(1_000_000))
+            .withColumn("due", F.col("next_fetch_us") <= F.lit(now_us)))

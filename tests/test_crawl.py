@@ -301,3 +301,39 @@ def test_ckpt_replicated_storage_level(spark, monkeypatch):
     ck.count()
     assert crawl._CKPT_LIVE[-1].getStorageLevel().replication() == 1
     crawl._release_ckpts()
+
+def test_recrawl_schedule_intervals_and_due(spark):
+    """Freshness scheduling (Cho & Garcia-Molina): a page whose hash
+    moved on every revisit recrawls at the min interval and is due;
+    a never-changed page decays to the max interval; a single-fetch
+    page has change_rate 0 (no division blowup); a half-changing
+    page lands linearly between. Integer-µs arithmetic is exact, and
+    the plan is ONE aggregation — no join, no window."""
+    from frontier.spark import schedule
+    us = 1_000_000_000_000
+    rows = []
+    rows += [("https://a.example/", us - i * 10, f"sha{i}")
+             for i in range(5)]              # hot: 5 fetches, 5 shas
+    rows += [("https://b.example/", us - i * 10, "same")
+             for i in range(4)]              # static: 4 fetches, 1 sha
+    rows += [("https://c.example/", us, "once")]   # single fetch
+    rows += [("https://d.example/", us - i * 10, f"s{i // 2}")
+             for i in range(3)]              # 3 fetches, 2 shas → 0.5
+    hist = spark.createDataFrame(
+        rows, "url_canon string, us long, content_sha string") \
+        .select("url_canon", F.timestamp_micros("us").alias("fetch_ts"),
+                "content_sha")
+    out = schedule.recrawl_schedule(hist, now_us=1_100_000_000_000)
+    got = {r.url_canon.split("//")[1][0]: r for r in out.collect()}
+    a, b, c, d = got["a"], got["b"], got["c"], got["d"]
+    assert (a.n_fetches, a.n_versions, a.change_rate) == (5, 5, 1.0)
+    assert a.interval_sec == 86_400 and a.due
+    assert a.next_fetch_us == us + 86_400 * 1_000_000
+    assert (b.n_fetches, b.n_versions, b.change_rate) == (4, 1, 0.0)
+    assert b.interval_sec == 2_592_000 and not b.due
+    assert (c.n_fetches, c.change_rate) == (1, 0.0)
+    assert c.interval_sec == 2_592_000
+    assert d.change_rate == 0.5
+    assert d.interval_sec == 2_592_000 - round(2_505_600 * 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan, plan
