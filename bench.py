@@ -107,8 +107,13 @@ def main():
             .withColumn("priority", F.lit(0))
         # the staged barrier mirrors the crawl loop (crawl.py): the
         # PRUNED robots gate (round 5) reads the staged frontier
-        # twice — hosts-distinct prune + gate join — and without the
-        # checkpoint the canon chain would compute twice
+        # twice — hosts-distinct prune + gate join — and the
+        # checkpoint is the cheapest way to serve both (measured
+        # interleaved at sf0.1/x10: unpruned 2.04 s < ckpt 2.66 s <
+        # raw-url host_expr prune 3.08 s — the ~0.6 s over the
+        # unpruned r4 shape is the scale insurance that keeps the
+        # 10^8-host robots relation out of the broadcast;
+        # BENCH/BASELINE.md §robots-prune)
         staged = schedule.with_host(schedule.with_url_canon(frontier)) \
             .localCheckpoint(eager=False)
         ckpt_handle = checkpoint_rdd(staged)

@@ -261,7 +261,8 @@ def robots_allowed_expr(path, rules):
 
 
 def apply_robots(frontier: DataFrame, robots: DataFrame,
-                 prune: bool = True) -> DataFrame:
+                 prune: bool = True,
+                 prune_hosts: DataFrame | None = None) -> DataFrame:
     """Gate the frontier on per-host robots rules.
 
     ``robots(host, rules array<struct>, crawl_delay_ms)`` is one row
@@ -276,17 +277,26 @@ def apply_robots(frontier: DataFrame, robots: DataFrame,
     O(hosts-per-round); the full robots table is only ever scanned,
     never shuffled or broadcast.
 
-    The frontier subtree is read twice under pruning (host-distinct +
-    gate join) — callers on an expensive discovery chain should
-    materialize it first (crawl.py checkpoints the staged offers).
+    By default the frontier subtree is read twice under pruning
+    (host-distinct + gate join) — callers on an expensive discovery
+    chain must either materialize it first (crawl.py checkpoints the
+    staged offers: the gate there feeds two writes anyway) or pass
+    ``prune_hosts``: any one-column ``host`` relation whose host set
+    CONTAINS the frontier's. The cheap source is
+    ``urlcanon.host_expr`` over the RAW url column — host extraction
+    needs none of the path/query canonicalization, so the prune
+    branch becomes a codegen-only scan of the input's url column and
+    the expensive canon chain stays single-read with no barrier
+    (schedule() and bench.py do this). Supersets are safe: an extra
+    host only keeps an extra robots row; a robots row whose host is
+    absent from the batch never matches the left join anyway.
 
     The allow predicate itself (:func:`robots_allowed_expr`) is
-    evaluated entirely JVM-side against the URL path. Pruning cannot
-    change the result: a robots row whose host is absent from the
-    batch never matches the left join anyway.
+    evaluated entirely JVM-side against the URL path.
     """
     if prune:
-        hosts = frontier.select("host").distinct()
+        hosts = (prune_hosts if prune_hosts is not None
+                 else frontier).select("host").distinct()
         robots = robots.join(F.broadcast(hosts), "host", "left_semi")
     gated = (frontier
              .join(F.broadcast(robots), "host", "left")
@@ -327,7 +337,16 @@ def schedule(frontier: DataFrame, robots: DataFrame | None,
     if "host" not in staged.columns:
         staged = with_host(staged)
     if robots is not None:
-        staged = apply_robots(staged, robots).where(F.col("robots_allowed"))
+        # the robots prune's host set comes from the RAW url column
+        # (codegen-only host_expr ⊇ the canon hosts), so the canon
+        # chain in `staged` is read exactly once — no barrier needed
+        hosts = None
+        if "url" in frontier.columns:
+            from frontier.spark import urlcanon
+            hosts = frontier.select(
+                urlcanon.host_expr(F.col("url")).alias("host"))
+        staged = apply_robots(staged, robots, prune_hosts=hosts) \
+            .where(F.col("robots_allowed"))
     cut = politeness_cut(staged, budget_per_host)
     return fetch_order(cut, num_partitions)
 

@@ -319,3 +319,21 @@ def test_gate_broadcast_is_pruned(spark):
     a = {r.url_canon: r.robots_allowed for r in gated.collect()}
     b = {r.url_canon: r.robots_allowed for r in legacy.collect()}
     assert a == b and len(a) == 20
+
+    # prune_hosts path (r5): the host set comes from the RAW url via
+    # host_expr — a SUPERSET of the staged hosts (here genuinely
+    # proper: urls covers hosts the staged side lacks after the canon
+    # NULL filter can't drop any, plus an unrelated extra host).
+    # Same rows, same pruned plan shape, and the staged canon subtree
+    # is read exactly once (no second scan of `urls` in the plan).
+    from frontier.spark import urlcanon
+    extra = spark.createDataFrame(
+        [("https://unrelated.example/x",)], "url string")
+    hosts = urls.unionByName(extra).select(
+        urlcanon.host_expr(F.col("url")).alias("host"))
+    gated2 = schedule.apply_robots(staged, robots_df, prune_hosts=hosts)
+    plan2 = gated2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan2
+    assert plan2.index("LeftOuter") < plan2.index("LeftSemi"), plan2
+    c = {r.url_canon: r.robots_allowed for r in gated2.collect()}
+    assert c == a

@@ -165,3 +165,35 @@ def test_staged_with_canon_equals_column_form(spark):
     for r in rows:
         assert r.staged == r.expr_form, repr(r.url)
         assert r.staged == urlnorm.canonicalize(r.url), repr(r.url)
+
+
+def test_host_expr_covers_staged_gate_keys(spark):
+    """Prune-safety (r5): the robots prune may derive its host set
+    from the RAW url via host_expr instead of the staged canon chain
+    (apply_robots prune_hosts=...). That is sound iff every gate key
+    the staged frontier can produce — with_host(canon).host — is
+    either host_expr(url) itself, or a value no real robots key ever
+    takes: '' / NULL (canon failed or scheme-relative; joins no
+    hostname) or a '['-prefixed bracketed-IPv6 artifact (robots
+    relations are keyed on host_of output, which strips brackets).
+    Checked over the adversarial corpus through the REAL operators."""
+    from pyspark.sql import functions as F
+
+    from frontier.spark import schedule, urlcanon
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(ADVERSARIAL)], "i long, url string")
+    staged = schedule.with_host(
+        schedule.with_url_canon(df, impl="jvm")
+        .where(F.col("url_canon").isNotNull()))
+    rows = (staged
+            .withColumn("cheap", urlcanon.host_expr(F.col("url")))
+            .select("url", "host", "cheap").collect())
+    assert rows, "adversarial corpus produced no canonicalizable URLs"
+    covered = 0
+    for r in rows:
+        if r.host in ("", None) or r.host.startswith("["):
+            continue
+        assert r.host == r.cheap, (r.url, r.host, r.cheap)
+        covered += 1
+    assert covered > 10  # the property must actually bite
