@@ -11,13 +11,23 @@ label)``.
   exact re-rank of candidates only. The 100 TB path: candidate count
   per query is ~n/2^bits × bands instead of n.
 
-All vector math stays in Spark SQL higher-order functions — doubles,
-JVM codegen — no Python in the distance loop.
+Vector-math placement (measured, r5): the bounded paths (exact
+re-rank, query probes, pairwise prunes) use Spark SQL higher-order
+functions — JVM, no Python workers — which is right when a join or
+window needs the scores inline. The corpus-scale IVF paths
+(assignment, Lloyd training) instead use Arrow-batched numpy kernels:
+higher-order-function lambdas are INTERPRETED per element (never
+whole-stage-codegen'd), costing ~0.7 s per pass over just 2000×64
+vectors at 16 cells, where one numpy matmul per Arrow batch is
+~milliseconds. Never per-row Python.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def _as_double(col):
@@ -181,7 +191,21 @@ def ivf_codebook(embeddings: DataFrame, n_cells: int = 16,
     ``n_iter=0`` returns the seed codebook (the untrained baseline
     the recall test compares against).
     """
-    xq = embeddings.select("vec_id", _quantize("embedding").alias("xq"))
+    return embeddings.sparkSession.createDataFrame(
+        _codebook_rows(embeddings, n_cells, n_iter, quant),
+        "cell_id int, c array<double>")
+
+
+def _codebook_rows(embeddings: DataFrame, n_cells: int = 16,
+                   n_iter: int = 2, quant: int = IVF_QUANT
+                   ) -> list[tuple[int, list[float]]]:
+    """:func:`ivf_codebook`'s training loop, returning the driver
+    rows the Lloyd iteration holds anyway — internal callers
+    (:func:`ivf_topk`, :func:`semantic_dedup`) feed these straight
+    into the numpy assignment closure, skipping a createDataFrame →
+    collect roundtrip per use."""
+    xq = embeddings.select("vec_id", _quantize("embedding", quant)
+                           .alias("xq"))
     seed_rows = (xq.select(F.md5(F.col("vec_id").cast("string"))
                            .alias("_m"), "vec_id", "xq")
                  .orderBy("_m", "vec_id").limit(n_cells).collect())
@@ -189,75 +213,139 @@ def ivf_codebook(embeddings: DataFrame, n_cells: int = 16,
             enumerate(sorted(seed_rows,
                              key=lambda r: (r["_m"], r["vec_id"])))]
     for _ in range(n_iter):
-        # ONE distributed pass per iteration (the MLlib K-means
-        # shape): literal-codebook narrow assignment, then (cell, dim)
-        # sums — posexplode is map-side-combined down to
-        # n_cells·dim rows before the exchange. The codebook-sized
-        # result updates the centroids DRIVER-side: no join-back, no
-        # window, no per-iteration checkpoint (the r5 rewrite; the
-        # old plan shuffled n_cells·N rows through a window per
-        # iteration and eagerly checkpointed the centroid relation).
-        asg = _ivf_assign(xq, "xq", "vec_id", rows, 1)
-        sums = (asg.select("cell_id", F.posexplode("xq").alias("j", "x"))
-                .groupBy("cell_id", "j")
-                .agg(F.sum("x").alias("s"))
-                .collect())
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in sums:
-            by_cell.setdefault(r["cell_id"], {})[r["j"]] = float(r["s"])
+        # ONE shuffle-free narrow pass per iteration: a mapInArrow
+        # batch-numpy kernel fuses the argmax-cosine assignment with
+        # per-partition partial (cell, Σ vector) sums, so each
+        # partition emits ≤ n_cells rows and the codebook-sized
+        # result reduces DRIVER-side — no exchange at all (the r5
+        # interim shape posexploded N·dim rows into a groupBy; the
+        # pre-r5 shape shuffled n_cells·N rows through a window and
+        # eagerly checkpointed the centroid relation — both measured
+        # slower at every size). Quantized integer-valued doubles
+        # keep every partial sum exact regardless of batch/partition
+        # order, so the trained centroids are bit-identical to the
+        # DuckDB oracle's unrolled-Lloyd CTE.
+        by_cell = _assign_partial_sums(xq, "xq", rows)
         rows = [(cid,
-                 [d[j] for j in range(len(c))]
-                 if (d := by_cell.get(cid)) else c)  # empty cell keeps c
+                 [float(x) for x in s]
+                 if (s := by_cell.get(cid)) is not None
+                 else c)  # empty cell keeps its previous centroid
                 for cid, c in rows]
-    return embeddings.sparkSession.createDataFrame(
-        rows, "cell_id int, c array<double>")
+    return rows
+
+
+def _assign_partial_sums(df: DataFrame, vec_col: str,
+                         cents: list) -> dict[int, "np.ndarray"]:
+    """One fused Lloyd pass: assign each vector to its max-cosine
+    cell (same winner rule as :func:`_ivf_assign` keep_top=1) and
+    return the per-cell element-wise vector sums, reduced on the
+    driver from ≤ n_cells partial rows per partition."""
+    import pyarrow as pa
+
+    rows = sorted((cid, list(c)) for cid, c in cents)
+    cell_ids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    cmat = np.array([c for _, c in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    dim = cmat.shape[1]
+    n = len(cell_ids)
+
+    def part(batches):
+        acc = np.zeros((n, dim), dtype=np.float64)
+        seen = np.zeros(n, dtype=bool)
+        for b in batches:
+            col = b.column(0)
+            if len(col) == 0:
+                continue
+            x = (col.flatten().to_numpy(zero_copy_only=False)
+                 .reshape(len(col), dim).astype(np.float64))
+            sims = (x @ cmat.T) / (
+                np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :])
+            best = np.argmax(sims, axis=1)
+            np.add.at(acc, best, x)
+            seen[best] = True
+        idx = np.nonzero(seen)[0]
+        if len(idx):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cell_ids[idx], pa.int32()),
+                 pa.array([acc[i].tolist() for i in idx],
+                          pa.list_(pa.float64()))],
+                ["cell_id", "s"])
+
+    partials = (df.select(vec_col)
+                .mapInArrow(part, "cell_id int, s array<double>")
+                .collect())
+    by_cell: dict[int, np.ndarray] = {}
+    for r in partials:
+        s = np.array(r["s"], dtype=np.float64)
+        prev = by_cell.get(r["cell_id"])
+        by_cell[r["cell_id"]] = s if prev is None else prev + s
+    return by_cell
 
 
 def _ivf_assign(df: DataFrame, vec_col: str, id_col: str,
                 cents, keep_top: int) -> DataFrame:
-    """Top ``keep_top`` max-cosine cells per row (broadcast the
-    codebook-sized centroid relation; ``cents`` may be a DataFrame
-    or the driver rows ``[(cell_id, [float, ...]), ...]`` that
-    :func:`ivf_codebook` iterates on).
+    """Top ``keep_top`` max-cosine cells per row (``cents`` may be a
+    DataFrame or the driver rows ``[(cell_id, [float, ...]), ...]``
+    that :func:`ivf_codebook` iterates on).
 
     ``keep_top == 1`` — the corpus-scale path (codebook training,
-    corpus cell assignment, SemDeDup): broadcast crossJoin then ONE
-    ``max_by`` aggregation keyed on id. max_by partial-merges
-    map-side, so the exchange carries N rows — never the n_cells·N
-    exploded relation (r5 fix: the old per-id window shuffled all
-    n_cells·N rows just to rank them). Winner parity with that
-    window: max over (sim, -cell_id) == first of (sim DESC,
-    cell_id ASC), NaN-greatest included.
+    corpus cell assignment, SemDeDup): a batch-numpy pandas_udf —
+    one Arrow-vectorized matmul ``X @ Cᵀ`` per batch against the
+    closure-held codebook matrix, appended as a NARROW column (zero
+    shuffle, zero join; rows pass through unchanged, ids assumed
+    unique per contract). Winner parity with the previous
+    ``max_by((sim, −cell_id))`` aggregation is exact: the codebook
+    rows are sorted by cell_id and ``np.argmax`` returns the FIRST
+    maximum — lowest cell_id on ties — and NaN (zero-norm vector or
+    centroid) is maximal for both numpy argmax and Spark double
+    ordering, resolving to the lowest NaN cell either way. Float
+    parity is exact because every keep_top=1 call site passes
+    QUANTIZED vectors (:func:`_quantize`): integer-valued doubles
+    make the dot sums order-independent, so numpy's pairwise
+    summation, the JVM fold, and the DuckDB oracle agree
+    bit-for-bit.
 
     ``keep_top > 1`` — the query-probe path (bounded query
-    relation): the per-id window stays; top-k has no partial-merge
-    aggregate form and the relation is query-sized by contract.
+    relation): broadcast crossJoin + per-id window; top-k has no
+    partial-merge aggregate form and the relation is query-sized by
+    contract.
 
-    Alternatives measured and REJECTED (sf0.01, this box): embedding
-    the codebook as a plan-literal array (transform + array_sort
-    comparator) or fully unrolling the dot products as scalar
-    expression chains — both narrow maps with zero shuffle, both
-    LOSE (1.4× and ~6× slower end-to-end) to Catalyst tree-walk
-    tax on the 10^3-10^4-node expression trees; the data-side win
-    is nothing at codebook sizes that fit a broadcast anyway.
+    Alternatives measured and REJECTED (this box): the broadcast
+    crossJoin + ``max_by`` aggregation (r5 interim: the interpreted
+    ``zip_with``/``aggregate`` lambdas cost ~0.7 s per pass over
+    just 2000×64 at 16 cells — higher-order functions never enter
+    codegen — and the agg adds an N-row exchange per pass);
+    embedding the codebook as a plan-literal array (1.4× slower,
+    Catalyst tree-walk tax); fully unrolled scalar dot chains (~6×
+    slower, same tax).
     """
-    if not isinstance(cents, DataFrame):
-        cents = df.sparkSession.createDataFrame(
-            cents, "cell_id int, c array<double>")
+    if isinstance(cents, DataFrame):
+        rows = [(r["cell_id"], list(r["c"])) for r in cents.collect()]
+    else:
+        rows = [(cid, list(c)) for cid, c in cents]
+    if keep_top == 1:
+        rows = sorted(rows)  # cell_id asc → argmax ties pick lowest
+        cell_ids = np.array([cid for cid, _ in rows], dtype=np.int64)
+        cmat = np.array([c for _, c in rows], dtype=np.float64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+        @pandas_udf("int")
+        def _best_cell(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int32")
+            x = np.array(vs.tolist(), dtype=np.float64)
+            sims = (x @ cmat.T) / (
+                np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :])
+            return pd.Series(
+                cell_ids[np.argmax(sims, axis=1)].astype("int32"))
+
+        return df.withColumn("cell_id", _best_cell(F.col(vec_col)))
+    cents_df = df.sparkSession.createDataFrame(
+        rows, "cell_id int, c array<double>")
     sim = _dot(F.col(vec_col), F.col("c")) / \
         (_norm(F.col(vec_col)) * _norm(F.col("c")))
-    joined = (df.crossJoin(F.broadcast(cents))
+    joined = (df.crossJoin(F.broadcast(cents_df))
               .withColumn("_csim", sim))
-    if keep_top == 1:
-        payload = F.struct(*[F.col(c) for c in df.columns])
-        best = joined.groupBy(id_col).agg(
-            F.max_by(
-                F.struct(F.col("cell_id").alias("cell_id"),
-                         payload.alias("p")),
-                F.struct(F.col("_csim"),
-                         (F.lit(0) - F.col("cell_id")))).alias("_b"))
-        return best.select("_b.p.*",
-                           F.col("_b.cell_id").alias("cell_id"))
     w = Window.partitionBy(id_col).orderBy(
         F.col("_csim").desc(), F.col("cell_id").asc())
     return (joined
@@ -274,8 +362,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
 
     Coarse quantizer: the k-means codebook from :func:`ivf_codebook`
     (``n_iter`` Lloyd rounds; 0 = untrained seed codebook). Every
-    vector is assigned to its max-cosine cell (broadcast centroids,
-    narrow map — at 10^9 vectors this is one pass); a query probes
+    vector is assigned to its max-cosine cell (closure-held codebook,
+    batch-numpy narrow map — at 10^9 vectors this is one pass); a
+    query probes
     its ``n_probe`` nearest cells and exact-re-ranks only those
     cells' vectors: candidates ≈ n * n_probe / n_cells per query
     instead of n. Cell assignment uses the quantized vectors (exact
@@ -285,7 +374,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     Ties broken by (cell_id, neighbor_id) — fully deterministic;
     output schema matches :func:`cosine_topk` for recall evaluation.
     """
-    cents = ivf_codebook(embeddings, n_cells, n_iter)
+    cents = _codebook_rows(embeddings, n_cells, n_iter)
     emb = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double(F.col("embedding")).alias("v"),
@@ -408,13 +497,12 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     Scale path: the pairwise check is an equi-join on cell_id, so the
     work is Σ|cell|² instead of n² — exactly the paper's point. At
     10⁹ vectors you raise ``n_cells`` (the paper uses ~10⁵ clusters)
-    to keep cells bounded; assignment stays one broadcast-codebook
-    narrow map per vector. Never an all-pairs product over the
+    to keep cells bounded; assignment stays one closure-held-codebook
+    numpy narrow map per vector. Never an all-pairs product over the
     vectors — the plan test pins the prune to an equi-join on
-    cell_id (the only nested-loop crosses are the bounded
-    broadcast-codebook assignment maps, as in :func:`ivf_topk`).
+    cell_id.
     """
-    cents = ivf_codebook(embeddings, n_cells, n_iter)
+    cents = _codebook_rows(embeddings, n_cells, n_iter)
     emb = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v"),
         _quantize("embedding").alias("vq"))

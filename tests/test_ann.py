@@ -235,3 +235,26 @@ def test_semantic_dedup_plan_no_cartesian(emb):
     assert any("SortMergeJoin [_lcell" in ln or
                "ShuffledHashJoin [_lcell" in ln
                for ln in plan.splitlines()), plan
+
+
+def test_ivf_assign_tie_and_nan_rules(spark):
+    """Winner-rule pins for the batch-numpy keep_top=1 assignment
+    (r5): exact similarity ties (duplicate centroids) resolve to the
+    LOWEST cell_id, and a zero-norm vector (all sims NaN) also lands
+    in the lowest cell — the same (sim DESC, cell_id ASC)
+    NaN-greatest ordering the window/max_by formulations used and
+    the DuckDB oracle encodes."""
+    df = spark.createDataFrame(
+        [(0, [2.0, 0.0]),     # ties between duplicate centroids 1,2
+         (1, [0.0, 3.0]),     # clear winner: cell 0
+         (2, [0.0, 0.0])],    # zero norm: all sims NaN
+        "vec_id int, xq array<double>")
+    cents = [(2, [1.0, 0.0]),  # duplicate of cell 1 (higher id)
+             (0, [0.0, 1.0]),
+             (1, [1.0, 0.0])]
+    got = {r.vec_id: r.cell_id
+           for r in ann._ivf_assign(df, "xq", "vec_id",
+                                    cents, 1).collect()}
+    assert got == {0: 1,   # tie between cells 1 and 2 → lowest (1)
+                   1: 0,
+                   2: 0}   # NaN row → lowest cell_id
