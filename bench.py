@@ -100,33 +100,35 @@ def main():
     # co-partition instead — same plan shape, no broadcast.)
     robots = synth.robots_df(spark)
 
-    from frontier.spark.session import checkpoint_rdd
+    from frontier.spark import urlcanon
 
     def headline(pages, fetch):
         frontier = pages.select("url", "warc_ts") \
             .withColumn("priority", F.lit(0))
-        # the staged barrier mirrors the crawl loop (crawl.py): the
-        # PRUNED robots gate (round 5) reads the staged frontier
-        # twice — hosts-distinct prune + gate join — and the
-        # checkpoint is the cheapest way to serve both (measured
-        # interleaved at sf0.1/x10: unpruned 2.04 s < ckpt 2.66 s <
-        # raw-url host_expr prune 3.08 s — the ~0.6 s over the
-        # unpruned r4 shape is the scale insurance that keeps the
-        # 10^8-host robots relation out of the broadcast;
-        # BENCH/BASELINE.md §robots-prune)
-        staged = schedule.with_host(schedule.with_url_canon(frontier)) \
-            .localCheckpoint(eager=False)
-        ckpt_handle = checkpoint_rdd(staged)
-        gated = schedule.apply_robots(staged, robots) \
+        staged = schedule.with_host(schedule.with_url_canon(frontier))
+        # the PRUNED robots gate (round 5) needs the batch's host
+        # set; deriving it from the RAW url column — the
+        # validation-free host_expr superset, a codegen-only re-scan
+        # of one parquet column — keeps the expensive canon chain
+        # single-read with NO barrier. Measured interleaved
+        # (BENCH/BASELINE.md §robots-prune): equal to the
+        # staged-checkpoint shape at 500k, equal-wall but
+        # best-scaling at 8M (its extra work parallelizes; the
+        # barrier's does not), ~0.5-2 s over the scale-UNSAFE
+        # unpruned broadcast — the insurance that keeps a 10^8-host
+        # robots relation out of the broadcast.
+        hosts = pages.select(
+            urlcanon.host_expr(F.col("url"), validate=False)
+            .alias("host"))
+        gated = schedule.apply_robots(staged, robots,
+                                      prune_hosts=hosts) \
             .where(F.col("robots_allowed"))
         cut = schedule.politeness_cut(gated, budget_per_host=1000)
         ordered = schedule.fetch_order(cut, num_partitions=cpus) \
             .select("url")
         fetched = fetch(pages, ordered)
-        n = parse.extract_main_text(fetched) \
+        return parse.extract_main_text(fetched) \
             .where(F.col("text").isNotNull()).count()
-        ckpt_handle.unpersist(False)
-        return n
 
     def bcast(pages, ordered):
         return pages.join(F.broadcast(ordered), "url")

@@ -82,48 +82,45 @@ def main():
              .format("parquet")
              .saveAsTable(tbl))
 
-    from frontier.spark.session import checkpoint_rdd
+    from frontier.spark import urlcanon
 
     def schedule_batch(pages, par):
         frontier = pages.select("url", "warc_ts") \
             .withColumn("priority", F.lit(0))
-        # checkpoint barrier before the pruned gate (bench.py): the
-        # gate reads staged twice; without this the canon chain
-        # computes twice and the A/B widths both pay it. The handle
-        # is returned so each measurement frees its own blocks.
-        staged = schedule.with_host(schedule.with_url_canon(frontier)) \
-            .localCheckpoint(eager=False)
-        ckpt = checkpoint_rdd(staged)
-        gated = schedule.apply_robots(staged, robots) \
+        staged = schedule.with_host(schedule.with_url_canon(frontier))
+        # pruned gate host set from the RAW url column (bench.py):
+        # no barrier, canon single-read, the prune's extra work is a
+        # parallel column re-scan — the best-scaling pruned shape
+        # (variant x width matrix in BENCH/BASELINE.md §robots-prune)
+        hosts = pages.select(
+            urlcanon.host_expr(F.col("url"), validate=False)
+            .alias("host"))
+        gated = schedule.apply_robots(staged, robots,
+                                      prune_hosts=hosts) \
             .where(F.col("robots_allowed"))
         cut = schedule.politeness_cut(gated, budget_per_host=1000)
-        ordered = schedule.fetch_order(cut, num_partitions=par) \
+        return schedule.fetch_order(cut, num_partitions=par) \
             .select("url")
-        return ordered, ckpt
 
     def headline_broadcast(par: int) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(par))
         pages = spark.read.parquet(pages_path).coalesce(par)
-        ordered, ckpt = schedule_batch(pages, par)
+        ordered = schedule_batch(pages, par)
         fetched = pages.join(F.broadcast(ordered), "url")
         t0 = time.perf_counter()
         parse.extract_main_text(fetched) \
             .where(F.col("text").isNotNull()).count()
-        took = time.perf_counter() - t0
-        ckpt.unpersist(False)
-        return took
+        return time.perf_counter() - t0
 
     def headline_bucketed(par: int) -> float:
         spark.conf.set("spark.sql.shuffle.partitions", str(par))
         pages = spark.table(f"pages_x{amplify}_b{par}")
-        ordered, ckpt = schedule_batch(pages, par)
+        ordered = schedule_batch(pages, par)
         fetched = pages.join(ordered.hint("shuffle_hash"), "url")
         t0 = time.perf_counter()
         parse.extract_main_text(fetched) \
             .where(F.col("text").isNotNull()).count()
-        took = time.perf_counter() - t0
-        ckpt.unpersist(False)
-        return took
+        return time.perf_counter() - t0
 
     modes = {"broadcast": headline_broadcast,
              "bucketed": headline_bucketed}

@@ -118,6 +118,31 @@ def parse_robots_txt(text: bytes | str) -> list[dict]:
     return groups
 
 
+def sitemap_urls(text: bytes | str) -> list[str]:
+    """``Sitemap:`` record values, in file order, deduplicated.
+
+    The Sitemap record (sitemaps.org) is GROUP-INDEPENDENT — RFC 9309
+    §2.2.4 "other records" — so it is collected from anywhere in the
+    file, including before any User-agent line, regardless of which
+    agent group wins. Values are absolute URLs; anything without a
+    scheme is dropped (the spec requires full URLs).
+    """
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", errors="replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw_line in text.lstrip("﻿").splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        key, sep, value = line.partition(":")
+        if not sep or key.strip().lower() != "sitemap":
+            continue
+        value = value.strip()
+        if "://" in value and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
+
+
 def rules_for_agent(text: bytes | str, agent: str = "frontier"
                     ) -> tuple[list[tuple[str, bool]], int]:
     """([(pattern, allow)], crawl_delay_ms) for ``agent``.

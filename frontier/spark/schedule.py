@@ -344,7 +344,8 @@ def schedule(frontier: DataFrame, robots: DataFrame | None,
         if "url" in frontier.columns:
             from frontier.spark import urlcanon
             hosts = frontier.select(
-                urlcanon.host_expr(F.col("url")).alias("host"))
+                urlcanon.host_expr(F.col("url"), validate=False)
+                .alias("host"))
         staged = apply_robots(staged, robots, prune_hosts=hosts) \
             .where(F.col("robots_allowed"))
     cut = politeness_cut(staged, budget_per_host)

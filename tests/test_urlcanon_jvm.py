@@ -188,12 +188,17 @@ def test_host_expr_covers_staged_gate_keys(spark):
         .where(F.col("url_canon").isNotNull()))
     rows = (staged
             .withColumn("cheap", urlcanon.host_expr(F.col("url")))
-            .select("url", "host", "cheap").collect())
+            .withColumn("fast", urlcanon.host_expr(F.col("url"),
+                                                   validate=False))
+            .select("url", "host", "cheap", "fast").collect())
     assert rows, "adversarial corpus produced no canonicalizable URLs"
     covered = 0
     for r in rows:
         if r.host in ("", None) or r.host.startswith("["):
             continue
         assert r.host == r.cheap, (r.url, r.host, r.cheap)
+        # the validation-free variant (the robots-prune default) must
+        # agree wherever the validated one produced the gate key
+        assert r.host == r.fast, (r.url, r.host, r.fast)
         covered += 1
     assert covered > 10  # the property must actually bite
