@@ -203,21 +203,84 @@ def q_region_nation_join(spark, sf_dir):
                  F.min("n_name").alias("first_nation")))
 
 
-def q_events_window(spark, sf_dir):
+def q_events_report(spark, sf_dir):
+    """Per-event window + set-op report in ONE relation (r5
+    consolidation of events_window + event_type_except —
+    FIXTURES.md §7): lag/row_number per user joined with a
+    warm-only-type flag (the EXCEPT set — event types hot at
+    value>300 but never >400 — as a boolean per event). The EXCEPT
+    side is a distinct over a bounded type domain, so its broadcast
+    is bounded — correct, unlike the r3 vocabulary broadcasts."""
     events = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
-        "event_id", "user_id",
-        F.lag("event_id").over(w).alias("prev_event_id"),
-        F.row_number().over(w).alias("seq"))
-
-
-def q_event_type_except(spark, sf_dir):
-    events = _read(spark, sf_dir, "events")
     hot = events.where(F.col("value") > 300).select("event_type").distinct()
     very = events.where(F.col("value") > 400).select("event_type").distinct()
-    return hot.exceptAll(very).distinct() \
-        .select(F.col("event_type").alias("only_warm_type"))
+    warm = hot.exceptAll(very).distinct() \
+        .withColumn("_warm", F.lit(True))
+    return (events
+            .select("event_id", "user_id", "event_type",
+                    F.lag("event_id").over(w).alias("prev_event_id"),
+                    F.row_number().over(w).alias("seq"))
+            .join(F.broadcast(warm), "event_type", "left")
+            .select("event_id", "user_id", "prev_event_id", "seq",
+                    F.coalesce(F.col("_warm"), F.lit(False))
+                    .alias("is_warm_only_type")))
+
+
+def q_sitemap_offers(spark, sf_dir):
+    """Sitemap ingestion end-to-end through the REAL kernel parse:
+    doc_id-arithmetic sitemap XML (entity-escaped locs, date-only
+    lastmod, out-of-range priorities that must fall back to the 0.5
+    default, decorative changefreq incl. invalid values) is built
+    per 40-doc sitemap group with ONE uniform-key aggregation, fed
+    through sitemaps.sitemap_entries (mapInArrow XML parse) +
+    sitemap_offers (canon + min-struct dedup: paired docs share a
+    loc with different priors, so the merge is exercised), and the
+    oracle restates the expected offers analytically. Covers
+    frontier/kernel/sitemap.py + frontier/spark/sitemaps.py; the
+    gzip/index/plain-text paths and the robots Sitemap-record hop
+    are pytest-covered (test_sitemap differential vs the synthetic
+    web)."""
+    from frontier.spark import sitemaps
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    # pairs (2k, 2k+1) share a loc (host and page keyed on the EVEN
+    # base, so the pair collides and min-struct dedup has work);
+    # doc_id%10==7 adds an entity-escaped query the canon must sort
+    base = d - d % 2
+    loc = F.concat(
+        F.lit("https://sm"), F.lpad((base % 40).cast("string"), 2, "0"),
+        F.lit(".example/page"), base.cast("string"),
+        F.when(d % 10 == 7, F.lit(".html?b=2&amp;a=1"))
+        .otherwise(F.lit(".html")))
+    lastmod = F.when(d % 3 == 0, F.concat(
+        F.lit("<lastmod>2026-01-"),
+        F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"))).otherwise(F.lit(""))
+    freq = F.when(d % 13 == 0, F.lit("<changefreq>sometimes</changefreq>")) \
+        .when(d % 13 == 1, F.lit("<changefreq>weekly</changefreq>")) \
+        .otherwise(F.lit(""))
+    # d%14 in 11..13 → out of [0,1] → parser drops → default 0.5
+    prio = F.when(d % 4 > 0, F.concat(
+        F.lit("<priority>"),
+        ((d % 14) / 10.0).cast("string"),
+        F.lit("</priority>"))).otherwise(F.lit(""))
+    entry = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                     lastmod, freq, prio, F.lit("</url>"))
+    bodies = (docs
+              .groupBy((base % 40).alias("gid"))
+              .agg(F.concat_ws("", F.collect_list(entry)).alias("_e"))
+              .select(
+                  F.concat(F.lit("https://sm"),
+                           F.lpad(F.col("gid").cast("string"), 2, "0"),
+                           F.lit(".example/sitemap.xml")).alias("url"),
+                  F.encode(F.concat(
+                      F.lit('<?xml version="1.0"?><urlset>'),
+                      F.col("_e"), F.lit("</urlset>")),
+                      "UTF-8").alias("body")))
+    return sitemaps.sitemap_offers(sitemaps.sitemap_entries(bodies)) \
+        .orderBy("url_canon")
 
 
 def q_doc_hashes(spark, sf_dir):
@@ -808,8 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "region_nation_join": q_region_nation_join,
-        "events_window": q_events_window,
-        "event_type_except": q_event_type_except,
+        "events_report": q_events_report,
+        "sitemap_offers": q_sitemap_offers,
         "doc_hashes": q_doc_hashes,
         "text_stats": q_text_stats,
         "minhash_sig": q_minhash_sig,
@@ -1249,17 +1312,47 @@ def oracle_sql() -> dict[str, str]:
                    MIN(n_name) AS first_nation
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name""",
-        "events_window": """
-            SELECT event_id, user_id,
-                   lag(event_id) OVER w AS prev_event_id,
-                   CAST(row_number() OVER w AS INTEGER) AS seq
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
-        "event_type_except": """
-            SELECT DISTINCT event_type AS only_warm_type
-            FROM events WHERE value > 300
-            EXCEPT
-            SELECT DISTINCT event_type FROM events WHERE value > 400""",
+        "events_report": """
+            SELECT e.event_id, e.user_id,
+                   lag(e.event_id) OVER w AS prev_event_id,
+                   CAST(row_number() OVER w AS INTEGER) AS seq,
+                   e.event_type IN (
+                     SELECT event_type FROM events WHERE value > 300
+                     EXCEPT
+                     SELECT event_type FROM events WHERE value > 400
+                   ) AS is_warm_only_type
+            FROM events e
+            WINDOW w AS (PARTITION BY e.user_id
+                         ORDER BY e.ts, e.event_id)""",
+        "sitemap_offers": """
+            WITH entries AS (
+              SELECT
+                'https://sm'
+                  || lpad(CAST((doc_id - doc_id % 2) % 40
+                               AS VARCHAR), 2, '0')
+                  || '.example/page'
+                  || CAST(doc_id - doc_id % 2 AS VARCHAR)
+                  || CASE WHEN doc_id % 10 = 7
+                          THEN '.html?a=1&b=2' ELSE '.html' END
+                  AS url_canon,
+                CAST(round((1.0 - CASE WHEN doc_id % 4 > 0
+                                        AND doc_id % 14 <= 10
+                                       THEN (doc_id % 14) / 10.0
+                                       ELSE 0.5 END) * 10) AS INTEGER)
+                  AS priority,
+                CASE WHEN doc_id % 3 = 0
+                     THEN TIMESTAMP '2026-01-01'
+                          + (doc_id % 28) * INTERVAL 1 DAY
+                     ELSE TIMESTAMP '1970-01-01' END AS warc_ts
+              FROM documents),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY url_canon
+                ORDER BY priority, warc_ts) AS rn
+              FROM entries)
+            SELECT url_canon, priority, warc_ts
+            FROM ranked WHERE rn = 1
+            ORDER BY url_canon""",
         "doc_hashes": _SIMHASH_CTE + """
             , reps AS (
               SELECT MIN(doc_id) AS doc_id

@@ -166,11 +166,21 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
           bloom_bits_per_bucket: int | None = None,
           target_fpp: float = DEFAULT_TARGET_FPP,
           fetch_mode: str = "auto",
-          broadcast_fetch_max: int = DEFAULT_BROADCAST_FETCH_MAX) -> dict:
+          broadcast_fetch_max: int = DEFAULT_BROADCAST_FETCH_MAX,
+          sitemap_offers: DataFrame | None = None) -> dict:
     """Run (or resume) a crawl; returns the final manifest dict.
 
     seeds: (url, priority, source_rank) — source_rank breaks dup-seed
     ties first-wins, mirroring merge.py:30-44.
+
+    sitemap_offers: optional FRONTIER_COLS relation (already
+    canonicalized and internally deduplicated —
+    sitemaps.discover_offers output) unioned into the initial
+    frontier; on overlap the SEED row wins (anti-join) — the engine's
+    "an already-queued URL is never re-added" rule, identical to the
+    simulator offering seeds before sitemap rows. Robots-gated at
+    entry like any offer. Ignored on resume (the committed state
+    already absorbed them).
 
     fetch_mode: "broadcast" | "copartition" | "auto" (broadcast while
     the scheduled batch is ≤ broadcast_fetch_max rows, co-partitioned
@@ -198,6 +208,11 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                                                    False))
     else:
         frontier = _seed_frontier(seeds)
+        if sitemap_offers is not None:
+            frontier = frontier.unionByName(
+                sitemap_offers.select(*FRONTIER_COLS)
+                .join(frontier.select("url_canon"),
+                      "url_canon", "left_anti"))
         blocked = spark.createDataFrame([], "url_canon string")
         if robots is not None:
             frontier, blocked = _gate_frontier(frontier, robots)

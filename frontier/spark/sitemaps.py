@@ -37,6 +37,77 @@ ENTRY_DDL = ("sitemap_url string, kind string, loc string, "
              "lastmod_us bigint, changefreq string, priority double, "
              "is_child boolean")
 
+_CKPT_LIVE: list = []  # java RDD handles (session.checkpoint_rdd)
+
+
+def release_checkpoints() -> None:
+    """Free the lazily-localCheckpointed blocks accumulated by
+    :func:`discover_offers`. Call AFTER the returned offers have been
+    fully consumed (e.g. after the crawl's seed-time gate committed):
+    the checkpoints truncate lineage, so an unconsumed result cannot
+    recompute once the blocks are gone (same contract as
+    eventops.release_checkpoints, r4 ADVICE)."""
+    while _CKPT_LIVE:
+        jrdd = _CKPT_LIVE.pop()
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass  # session teardown race
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    from frontier.spark import session
+
+    out = df.localCheckpoint(eager=False)
+    _CKPT_LIVE.append(session.checkpoint_rdd(out))
+    return out
+
+
+def discover_offers(fetched_robots: DataFrame, sitemap_docs: DataFrame,
+                    max_depth: int = 3,
+                    host_col: str = "host",
+                    text_col: str = "robots_txt",
+                    url_col: str = "url",
+                    body_col: str = "body") -> DataFrame:
+    """The full sitemap seed source: robots bytes → ``Sitemap:``
+    records → fetch → parse → (follow index children up to
+    ``max_depth`` fetch rounds) → frontier offers (FRONTIER_COLS).
+
+    ``sitemap_docs`` is the (url, body) fetch relation — on a real
+    cluster the HTTP fetcher's output for the requested locs, in the
+    sandbox :func:`frontier.synth.sitemap_docs_df`. Advertised locs
+    with no document simply miss the inner join (dead Sitemap records
+    are everyday crawled-web reality). The children loop is a bounded
+    driver-side BFS exactly like the crawl loop itself — per level ONE
+    fetch join + narrow parse; each level's entries are lazily
+    localCheckpointed (plan barrier + reuse across the non-child
+    slice, the child frontier, and the final offers), released by
+    :func:`release_checkpoints` once the caller has consumed the
+    offers. Already-fetched locs are anti-joined out so a sitemap
+    cycle (index A → index B → index A) terminates."""
+    sm = sitemap_urls_from_robots(fetched_robots, host_col, text_col) \
+        .select(F.col("sitemap_url").alias(url_col)).distinct()
+    pending = _ckpt(sm)
+    fetched = pending
+    parts = []
+    for depth in range(max_depth):
+        docs = sitemap_docs.select(url_col, body_col) \
+            .join(pending, url_col)  # the "fetch" stage
+        entries = _ckpt(sitemap_entries(docs, url_col, body_col))
+        parts.append(entries.where(~F.col("is_child")))
+        if depth == max_depth - 1:
+            break
+        pending = _ckpt(entries.where(F.col("is_child"))
+                        .select(F.col("loc").alias(url_col)).distinct()
+                        .join(fetched, url_col, "left_anti"))
+        if pending.isEmpty():
+            break
+        fetched = _ckpt(fetched.unionByName(pending))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return sitemap_offers(out)
+
 
 def sitemap_urls_from_robots(fetched_robots: DataFrame,
                              host_col: str = "host",

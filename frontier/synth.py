@@ -29,6 +29,8 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import pandas as pd  # module-level: applyInPandas type-hint target
+
 from frontier.kernel import decode
 
 EPOCH_2025_US = 1735689600 * 1_000_000  # 2025-01-01T00:00:00Z in micros
@@ -334,6 +336,208 @@ def audio_parts_from_documents(spark, sf_dir: str):
              "content binary")
 
 
+def _host_rules(h: int) -> tuple[list[tuple[str, bool]], int]:
+    """The deterministic RFC 9309 rule mix for host ``h`` — the single
+    source of truth shared by :func:`robots_df` (pre-parsed relation)
+    and :func:`robots_txt_df` (raw bytes), so the two are parity-
+    testable (tests/test_sitemap.py::test_robots_txt_parity)."""
+    rules: list[tuple[str, bool]] = []
+    if _h(h, "robo") % 10 == 0:
+        rules.append((f"/d{(_h(h, 'roboprefix') % 97):02d}", False))
+    if _h(h, "roboallow") % 10 == 3:
+        rules.append(("/", False))
+        rules.append((f"/d{(_h(h, 'allowseg') % 97):02d}*", True))
+    if _h(h, "robodollar") % 20 == 11:
+        rules.append(("/*7.html$", False))
+    return rules, int(_h(h, "delay") % 5) * 100
+
+
+def sitemap_kind_for_host(h: int) -> str | None:
+    """Which sitemap (if any) host ``h`` advertises in robots.txt:
+    ``None`` (no Sitemap record, ~2/3 of hosts), ``"urlset"`` (one
+    XML urlset), ``"index"`` (a sitemapindex with two children), or
+    ``"plain"`` (a text sitemap). Pure doc_id-free host arithmetic so
+    the pure-Python differential test restates it."""
+    if _h(h, "hassitemap") % 3 != 0:
+        return None
+    k = _h(h, "smkind") % 5
+    return "index" if k == 0 else "plain" if k == 1 else "urlset"
+
+
+def sitemap_path_for_host(h: int) -> str:
+    return "/sitemap.txt" if sitemap_kind_for_host(h) == "plain" \
+        else "/sitemap.xml"
+
+
+def doc_in_sitemap(doc_id: int) -> bool:
+    """Does ``doc_id``'s url appear in its host's sitemap (when the
+    host has one)? ~1/3 of docs — sitemaps advertise a subset, the
+    rest stay link-discovery-only."""
+    return _h(doc_id, "insm") % 3 == 0
+
+
+def sitemap_priors(doc_id: int) -> tuple[str | None, str | None,
+                                         float | None]:
+    """(lastmod W3C string, changefreq, priority) the synthetic
+    sitemap entry for ``doc_id`` carries — each independently present
+    or absent; priority spans 0.0–1.0."""
+    import datetime as _dt
+    lastmod = None
+    if _h(doc_id, "smlm") % 2 == 0:
+        sec = warc_ts_us(doc_id) // 1_000_000  # truncate to seconds
+        t = _dt.datetime.fromtimestamp(sec, tz=_dt.timezone.utc)
+        lastmod = t.strftime("%Y-%m-%dT%H:%M:%SZ")
+    freq = None
+    if _h(doc_id, "smcf") % 3 > 0:
+        from frontier.kernel.sitemap import CHANGEFREQS
+        freq = CHANGEFREQS[_h(doc_id, "smcfv") % 7]
+    prio = None
+    if _h(doc_id, "smpr") % 3 > 0:
+        prio = (_h(doc_id, "smprv") % 11) / 10.0
+    return lastmod, freq, prio
+
+
+def robots_txt_for_host(h: int) -> bytes:
+    """Raw robots.txt bytes for host ``h`` — parses (via
+    kernel.robots.rules_for_agent) to exactly :func:`robots_df`'s
+    rules/delay for that host, plus group-independent ``Sitemap:``
+    records per :func:`sitemap_kind_for_host` (one deliberately
+    placed BEFORE the User-agent group — RFC 9309 'other records' are
+    position-independent)."""
+    host = f"host{h:04d}.example"
+    rules, delay_ms = _host_rules(h)
+    kind = sitemap_kind_for_host(h)
+    lines = [f"# synthetic robots for {host}"]
+    if kind is not None:
+        lines.append(
+            f"Sitemap: https://{host}{sitemap_path_for_host(h)}")
+    lines.append("User-agent: *")
+    for pat, allow in rules:
+        lines.append(f"{'Allow' if allow else 'Disallow'}: {pat}")
+    lines.append(f"Crawl-delay: {delay_ms / 1000:g}")
+    if kind is not None and _h(h, "smextra") % 10 == 0:
+        # a second advertised sitemap that resolves to no document —
+        # the fetch join simply misses it (a dead Sitemap: record is
+        # everyday crawled-web reality)
+        lines.append(f"Sitemap: https://{host}/sitemap-extra.xml")
+    return ("\n".join(lines) + "\n").encode()
+
+
+def robots_txt_df(spark, num_hosts: int = NUM_HOSTS):
+    """(host, robots_txt binary) — the raw-bytes twin of
+    :func:`robots_df`: feed it to schedule.robots_from_text for the
+    gate relation and to sitemaps.discover_offers for the Sitemap
+    records."""
+    rows = [(f"host{h:04d}.example", robots_txt_for_host(h))
+            for h in range(num_hosts)]
+    return spark.createDataFrame(rows, "host string, robots_txt binary")
+
+
+def _sitemap_xml_entry(url: str, lastmod: str | None,
+                       freq: str | None, prio: float | None) -> str:
+    loc = url.replace("&", "&amp;")
+    parts = [f"<url><loc>{loc}</loc>"]
+    if lastmod is not None:
+        parts.append(f"<lastmod>{lastmod}</lastmod>")
+    if freq is not None:
+        parts.append(f"<changefreq>{freq}</changefreq>")
+    if prio is not None:
+        parts.append(f"<priority>{prio:g}</priority>")
+    parts.append("</url>")
+    return "".join(parts)
+
+
+def sitemap_docs_for_host(h: int, member_doc_ids: list[int]
+                          ) -> list[tuple[str, bytes]]:
+    """All sitemap documents host ``h`` serves, as (url, body) —
+    pure function of the host's member doc ids so the Spark builder
+    (:func:`sitemap_docs_df`) and the pure-Python differential test
+    share it. Bodies are gzipped when ``_h(h,'smgz')%3==0`` (sniffed
+    by magic, not extension)."""
+    import gzip as _gzip
+
+    kind = sitemap_kind_for_host(h)
+    if kind is None:
+        return []
+    host = f"host{h:04d}.example"
+    base = f"https://{host}"
+    members = sorted(member_doc_ids)
+    gz = _h(h, "smgz") % 3 == 0
+
+    def _finish(url: str, text: str) -> tuple[str, bytes]:
+        body = text.encode()
+        return url, (_gzip.compress(body, 5, mtime=0) if gz else body)
+
+    if kind == "plain":
+        return [_finish(base + "/sitemap.txt",
+                        "\n".join(url_for(d) for d in members) + "\n")]
+
+    def _urlset(ids: list[int]) -> str:
+        rows = "".join(
+            _sitemap_xml_entry(url_for(d), *sitemap_priors(d))
+            for d in ids)
+        return ('<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/'
+                f'sitemap/0.9">{rows}</urlset>')
+
+    if kind == "urlset":
+        return [_finish(base + "/sitemap.xml", _urlset(members))]
+
+    # index: two children split by doc hash; the index always lists
+    # both even when one side is empty (a dead child = fetch miss)
+    a = [d for d in members if _h(d, "smchild") % 2 == 0]
+    b = [d for d in members if _h(d, "smchild") % 2 == 1]
+    idx = ('<?xml version="1.0"?><sitemapindex>'
+           f'<sitemap><loc>{base}/sitemap-a.xml</loc></sitemap>'
+           f'<sitemap><loc>{base}/sitemap-b.xml</loc></sitemap>'
+           '</sitemapindex>')
+    out = [_finish(base + "/sitemap.xml", idx)]
+    if a:
+        out.append(_finish(base + "/sitemap-a.xml", _urlset(a)))
+    if b:
+        out.append(_finish(base + "/sitemap-b.xml", _urlset(b)))
+    return out
+
+
+def sitemap_docs_df(spark, sf_dir: str):
+    """(url, body binary) of every sitemap document the synthetic web
+    serves, distributed: membership is a narrow doc_id map, body
+    construction one uniform-key (host) shuffle — ~NUM_HOSTS groups,
+    each bounded by the host's member count."""
+    # module-level pandas import: under ``from __future__ import
+    # annotations`` applyInPandas resolves the string type hints
+    # against MODULE globals (frontier-round5 finding)
+    import pyarrow as pa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def members(batches: Iterator[pa.RecordBatch]
+                ) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            hs, ds = [], []
+            for doc_id in batch.column("doc_id").to_pylist():
+                h = host_index(doc_id)
+                if sitemap_kind_for_host(h) is None \
+                        or not doc_in_sitemap(doc_id):
+                    continue
+                hs.append(h)
+                ds.append(doc_id)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(hs, pa.int32()), pa.array(ds, pa.int64())],
+                names=["h", "doc_id"])
+
+    def build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import pandas as _pd
+        h = int(key[0])
+        docs_out = sitemap_docs_for_host(h, pdf["doc_id"].tolist())
+        return _pd.DataFrame(docs_out, columns=["url", "body"])
+
+    return (docs.mapInArrow(members, "h int, doc_id bigint")
+            .groupBy("h")
+            .applyInPandas(build, "url string, body binary"))
+
+
 def robots_df(spark, num_hosts: int = NUM_HOSTS):
     """Per-host robots table (FIXTURES.md §3) — RFC 9309 rule mix:
 
@@ -351,14 +555,6 @@ def robots_df(spark, num_hosts: int = NUM_HOSTS):
 
     host_rules = []
     for h in range(num_hosts):
-        host = f"host{h:04d}.example"
-        rules = []
-        if _h(h, "robo") % 10 == 0:
-            rules.append((f"/d{(_h(h, 'roboprefix') % 97):02d}", False))
-        if _h(h, "roboallow") % 10 == 3:
-            rules.append(("/", False))
-            rules.append((f"/d{(_h(h, 'allowseg') % 97):02d}*", True))
-        if _h(h, "robodollar") % 20 == 11:
-            rules.append(("/*7.html$", False))
-        host_rules.append((host, rules, int(_h(h, "delay") % 5) * 100))
+        rules, delay_ms = _host_rules(h)
+        host_rules.append((f"host{h:04d}.example", rules, delay_ms))
     return schedule.rules_relation(spark, host_rules)

@@ -38,6 +38,15 @@ def main():
                          " byte-identical)")
     ap.add_argument("--target-fpp", type=float, default=0.02,
                     help="bloom saturation guard threshold")
+    ap.add_argument("--sitemaps", action="store_true",
+                    help="ingest sitemaps as a third seed source: the "
+                         "robots gate is parsed from RAW robots.txt "
+                         "bytes (schedule.robots_from_text), their "
+                         "Sitemap: records are fetched+parsed "
+                         "(index children followed) and the resulting "
+                         "offers union into the initial frontier with "
+                         "lastmod/priority priors "
+                         "(sitemaps.discover_offers); batch loop only")
     ap.add_argument("--compact-expire", type=int, default=0, metavar="K",
                     help="after the crawl: compact results and expire "
                          "all but the newest K snapshots")
@@ -78,7 +87,19 @@ def main():
 
     pages = synth.pages_from_documents(spark, args.sf_dir)
     seeds = synth.seeds_from_documents(spark, args.sf_dir)
-    robots = synth.robots_df(spark)
+    offers = None
+    if args.sitemaps:
+        from frontier.spark import schedule, sitemaps
+
+        # the gate relation from RAW robots bytes (byte-parity with
+        # synth.robots_df — tests/test_sitemap.py), plus the Sitemap:
+        # records those same bytes advertise
+        robots_txt = synth.robots_txt_df(spark)
+        robots = schedule.robots_from_text(robots_txt)
+        offers = sitemaps.discover_offers(
+            robots_txt, synth.sitemap_docs_df(spark, args.sf_dir))
+    else:
+        robots = synth.robots_df(spark)
 
     if args.streaming:
         from frontier.spark import streaming
@@ -128,7 +149,11 @@ def main():
                            num_buckets=args.num_buckets,
                            resume=args.resume,
                            fetch_mode=args.fetch_mode,
-                           target_fpp=args.target_fpp)
+                           target_fpp=args.target_fpp,
+                           sitemap_offers=offers)
+    if offers is not None:
+        from frontier.spark import sitemaps
+        sitemaps.release_checkpoints()  # seed-time gate committed
     elapsed = time.perf_counter() - t0
     if args.compact_expire > 0:
         compacted = store.compact_results(spark)

@@ -243,3 +243,172 @@ def test_changefreq_interval_clamped(spark):
     assert got["never"] == 2_592_000
     assert got[None] == 2_592_000
     assert got["bogus"] == 2_592_000
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: synthetic robots.txt / sitemap docs → discover_offers →
+# crawl, differentially against a pure-Python reimplementation.
+# ---------------------------------------------------------------------------
+
+
+def _expected_offers(sf_dir):
+    """Pure-Python reimplementation of the whole sitemap seed source
+    over the synthetic web: robots bytes → Sitemap records → BFS over
+    the (url, body) map → kernel parse → canon → first-offer dedup
+    with the min-(priority, warc_ts) struct per url — the oracle for
+    sitemaps.discover_offers."""
+    import pyarrow.parquet as pq
+
+    from frontier import synth
+    from frontier.kernel import urlnorm
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])["doc_id"].to_pylist()
+    members: dict[int, list[int]] = {}
+    for d in doc_ids:
+        h = synth.host_index(d)
+        if synth.sitemap_kind_for_host(h) is not None \
+                and synth.doc_in_sitemap(d):
+            members.setdefault(h, []).append(d)
+
+    bodies: dict[str, bytes] = {}
+    sm_urls: list[str] = []
+    for h in range(synth.NUM_HOSTS):
+        if synth.sitemap_kind_for_host(h) is None:
+            continue
+        sm_urls.extend(robots.sitemap_urls(synth.robots_txt_for_host(h)))
+        for url, body in synth.sitemap_docs_for_host(
+                h, members.get(h, [])):
+            bodies[url] = body
+
+    offers: dict[str, tuple[int, int]] = {}
+    pending, fetched = list(dict.fromkeys(sm_urls)), set()
+    for _depth in range(3):
+        children = []
+        for u in pending:
+            fetched.add(u)
+            if u not in bodies:
+                continue  # dead Sitemap record / dead index child
+            parsed = sitemap.parse_sitemap(bodies[u])
+            children.extend(c for c in parsed["children"]
+                            if c not in fetched)
+            for loc, lastmod_us, _freq, prio in parsed["entries"]:
+                canon = urlnorm.canonicalize(loc)
+                if canon is None:
+                    continue
+                p = round((1.0 - (prio if prio is not None else 0.5))
+                          * 10)
+                ts = lastmod_us if lastmod_us is not None else 0
+                cur = offers.get(canon)
+                if cur is None or (p, ts) < cur:
+                    offers[canon] = (p, ts)
+        pending = list(dict.fromkeys(children))
+        if not pending:
+            break
+    return offers
+
+
+@pytest.fixture(scope="module")
+def synth_offers(spark, sf_dir):
+    from frontier import synth
+    from frontier.spark import sitemaps
+
+    robots_txt = synth.robots_txt_df(spark)
+    docs = synth.sitemap_docs_df(spark, sf_dir)
+    offers = sitemaps.discover_offers(robots_txt, docs).collect()
+    sitemaps.release_checkpoints()
+    return offers
+
+
+def test_robots_txt_parity_with_rules_relation(spark):
+    """robots_from_text(raw bytes) must equal the pre-parsed
+    robots_df relation rule-for-rule — one source of truth for the
+    gate regardless of which form the caller feeds it."""
+    from frontier import synth
+    from frontier.spark import schedule
+
+    parsed = {r.host: ([(ru.pat, ru.re, ru.spec, ru.allow)
+                        for ru in r.rules], r.crawl_delay_ms)
+              for r in schedule.robots_from_text(
+                  synth.robots_txt_df(spark)).collect()}
+    direct = {r.host: ([(ru.pat, ru.re, ru.spec, ru.allow)
+                        for ru in r.rules], r.crawl_delay_ms)
+              for r in synth.robots_df(spark).collect()}
+    assert parsed == direct
+
+
+def test_discover_offers_differential(spark, sf_dir, synth_offers):
+    got = {r.url_canon: (r.priority,
+                         int(r.warc_ts.timestamp() * 1_000_000))
+           for r in synth_offers}
+    assert len(got) == len(synth_offers), "offers not unique per url"
+    expected = _expected_offers(sf_dir)
+    assert got == expected
+    assert expected, "synthetic web produced no sitemap offers"
+    # the corpus must actually exercise the priors
+    assert any(ts > 0 for _, ts in expected.values())
+    assert any(p != 5 for p, _ in expected.values())
+
+
+def test_crawl_with_sitemap_offers_matches_simulator(
+        spark, sf_dir, synth_offers, tmp_path):
+    """Full-loop differential: a crawl seeded with sitemap offers vs
+    the pure-Python simulator fed the same offers after the seed list
+    (first-wins) — per-round scheduled sets, seen set, and blocked
+    set all match; and the sitemap source actually bites (round 0
+    schedules URLs no seed offered)."""
+    from frontier import synth
+    from frontier.kernel import simulator
+    from frontier.spark import crawl, schedule
+    from frontier.spark.snapshots import SnapshotStore
+
+    budget, rounds = 3, 3
+    pages = synth.pages_from_documents(spark, sf_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+    seeds = synth.seeds_from_documents(spark, sf_dir)
+    robots_rel = schedule.robots_from_text(
+        synth.robots_txt_df(spark)).cache()
+
+    offers_df = spark.createDataFrame(
+        [(u, p, ts) for u, (p, ts) in
+         sorted(_expected_offers(sf_dir).items())],
+        "url_canon string, priority int, ts_us long") \
+        .select("url_canon", "priority",
+                F.timestamp_micros("ts_us").alias("warc_ts"))
+    store = SnapshotStore(str(tmp_path / "crawl_sm"))
+    crawl.crawl(spark, page_index, seeds, robots_rel, store,
+                budget_per_host=budget, max_rounds=rounds,
+                num_buckets=8, sitemap_offers=offers_df)
+
+    pages_map = {}
+    for row in page_index.collect():
+        ts = int(row.warc_ts.timestamp() * 1_000_000)
+        pages_map[row.url_canon] = (ts, row.text, list(row.links))
+    seed_list = [(r.url, r.priority, 0) for r in
+                 seeds.orderBy("source_rank").collect()]
+    seed_list += [(u, p, ts) for u, (p, ts) in
+                  sorted(_expected_offers(sf_dir).items())]
+    robots_map = {r.host: [(ru.pat, ru.allow) for ru in r.rules]
+                  for r in robots_rel.collect() if r.rules}
+    sim = simulator.simulate(pages_map, seed_list, robots_map,
+                             budget_per_host=budget, max_rounds=rounds)
+
+    sim_sched = [set(rd["scheduled"]) for rd in sim.rounds]
+    spark_sched = []
+    for sid in store.snapshot_ids():
+        batch = store.read(spark, "batch", sid)
+        spark_sched.append({r.url_canon for r in
+                            batch.select("url_canon").collect()})
+    assert spark_sched == sim_sched[:len(spark_sched)]
+
+    seen_rows = store.read(spark, "seen_exact").collect()
+    assert {r.url_canon for r in seen_rows} == sim.seen
+    blocked_rows = store.read(spark, "blocked").collect()
+    assert {r.url_canon for r in blocked_rows} == sim.blocked
+
+    # the sitemap source bites: round 0 schedules offer-only URLs
+    seed_canons = {simulator.urlnorm.canonicalize(u)
+                   for u, _, _ in seed_list[:len(seed_list)
+                                            - len(synth_offers)]}
+    offer_only = set(_expected_offers(sf_dir)) - seed_canons
+    assert spark_sched and spark_sched[0] & offer_only
