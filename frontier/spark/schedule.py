@@ -354,7 +354,8 @@ def schedule(frontier: DataFrame, robots: DataFrame | None,
 
 def recrawl_schedule(history: DataFrame, now_us: int,
                      min_interval_sec: int = 86_400,
-                     max_interval_sec: int = 2_592_000) -> DataFrame:
+                     max_interval_sec: int = 2_592_000,
+                     priors: DataFrame | None = None) -> DataFrame:
     """Freshness-driven revisit scheduling (Cho & Garcia-Molina,
     "Effective Page Refresh Policies for Web Crawlers", TODS 2003 —
     the policy Nutch's AdaptiveFetchSchedule implements): estimate
@@ -373,12 +374,23 @@ def recrawl_schedule(history: DataFrame, now_us: int,
     next_fetch_us = last_fetch_us + interval_sec·10⁶, and
     due = next_fetch_us ≤ now_us.
 
+    ``priors``: optional (url_canon, interval_prior_sec) relation —
+    the host's self-reported cadence
+    (sitemaps.changefreq_interval_sec over sitemap entries). A URL
+    with fewer than TWO fetches has a zero-information change-rate
+    estimate (rate 0 → max interval); for those rows the prior
+    (clamped into [min, max]) replaces the estimate, and from the
+    second fetch on the measured rate takes over — Nutch's
+    AdaptiveFetchSchedule initial-interval seeding. One extra
+    uniform-key equi-join on url_canon, nothing else changes.
+
     Integer epoch-micros and an integer interval keep the relation
     exact across engines (no timestamp-format hashing hazards; the
     only float is the change rate itself). Plan shape at 10^10
     history rows: ONE aggregation on the uniform url key with
-    map-side partial aggregation — no window, no join; slim
-    (url, ts_us, sha) tuples are all that shuffles.
+    map-side partial aggregation — no window, no join (one bounded
+    equi-join when ``priors`` is given); slim (url, ts_us, sha)
+    tuples are all that shuffles.
     """
     g = (history.groupBy("url_canon")
          .agg(F.count("*").alias("n_fetches"),
@@ -391,11 +403,23 @@ def recrawl_schedule(history: DataFrame, now_us: int,
     change = ((F.col("n_versions") - 1).cast("double")
               / F.greatest(F.col("n_fetches") - 1, F.lit(1)))
     span = max_interval_sec - min_interval_sec
+    measured = (F.lit(max_interval_sec).cast("bigint")
+                - F.round(F.lit(span) * F.col("change_rate"), 0)
+                .cast("bigint"))
+    interval = measured
+    if priors is not None:
+        g = g.join(priors.select(
+            "url_canon",
+            F.greatest(F.least(F.col("interval_prior_sec"),
+                               F.lit(max_interval_sec)),
+                       F.lit(min_interval_sec)).cast("bigint")
+            .alias("_prior_sec")), "url_canon", "left")
+        interval = F.when(F.col("n_fetches") < 2,
+                          F.coalesce(F.col("_prior_sec"), measured)) \
+            .otherwise(measured)
     return (g.withColumn("change_rate", change)
-            .withColumn("interval_sec",
-                        F.lit(max_interval_sec).cast("bigint")
-                        - F.round(F.lit(span) * F.col("change_rate"), 0)
-                        .cast("bigint"))
+            .withColumn("interval_sec", interval)
+            .drop("_prior_sec")
             .withColumn("next_fetch_us",
                         F.col("last_fetch_us")
                         + F.col("interval_sec") * F.lit(1_000_000))

@@ -337,3 +337,45 @@ def test_recrawl_schedule_intervals_and_due(spark):
     assert d.interval_sec == 2_592_000 - round(2_505_600 * 0.5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_recrawl_schedule_changefreq_priors(spark):
+    """Sitemap changefreq priors seed the revisit interval exactly
+    until the measured change rate exists: a single-fetch URL takes
+    its (clamped) prior, a single-fetch URL without a prior keeps the
+    max-interval default, and a ≥2-fetch URL IGNORES its prior in
+    favor of the measurement. End-to-end through
+    sitemaps.changefreq_interval_sec so the sitemap → recrawl story
+    is the tested path, not just the docstring."""
+    from frontier.spark import schedule, sitemaps
+    us = 1_000_000_000_000
+    rows = [("https://p.example/", us, "once"),      # prior: daily
+            ("https://q.example/", us, "once")]      # no prior row
+    rows += [("https://r.example/", us - i * 10, f"sha{i}")
+             for i in range(3)]  # hot, has prior — measurement wins
+    hist = spark.createDataFrame(
+        rows, "url_canon string, us long, content_sha string") \
+        .select("url_canon", F.timestamp_micros("us").alias("fetch_ts"),
+                "content_sha")
+    entries = spark.createDataFrame(
+        [("https://p.example/", "daily"),
+         ("https://r.example/", "yearly"),
+         ("https://z.example/", "hourly")],  # never fetched: ignored
+        "url_canon string, changefreq string")
+    priors = entries.select(
+        "url_canon",
+        sitemaps.changefreq_interval_sec()
+        .alias("interval_prior_sec"))
+    out = schedule.recrawl_schedule(hist, now_us=us + 1,
+                                    priors=priors)
+    got = {r.url_canon.split("//")[1][0]: r for r in out.collect()}
+    assert got["p"].interval_sec == 86_400           # daily prior
+    assert got["q"].interval_sec == 2_592_000        # default max
+    assert got["r"].change_rate == 1.0
+    assert got["r"].interval_sec == 86_400           # measured, not
+    assert "z" not in got                            # yearly prior
+    # hourly clamps UP to the min bound; yearly clamps DOWN to max
+    clamped = {r.url_canon: r.interval_prior_sec
+               for r in priors.collect()}
+    assert clamped["https://z.example/"] == 86_400
+    assert clamped["https://r.example/"] == 2_592_000
