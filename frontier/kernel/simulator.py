@@ -55,12 +55,26 @@ def _path_of(canon: str) -> str:
 
 
 def simulate(pages: dict, seeds: list, robots: dict,
-             budget_per_host: int, max_rounds: int) -> SimResult:
+             budget_per_host: int, max_rounds: int,
+             robots_delay: dict | None = None,
+             window_ms: int | None = None) -> SimResult:
     """
     pages:  canon_url -> (warc_ts_us, text_or_None, links: list[raw url])
     seeds:  list of (raw_url, priority, warc_ts_us)
     robots: host -> list of (pattern, allow) RFC 9309 rules
+    robots_delay / window_ms: Crawl-delay-capped budgets — a host with
+    delay d ms serves at most max(1, window_ms // d) fetches per round
+    (schedule.politeness_cut's delay rule); hosts with no or zero
+    delay keep the full budget.
     """
+
+    def host_budget(host: str) -> int:
+        if window_ms is None or not robots_delay:
+            return budget_per_host
+        d = robots_delay.get(host, 0)
+        if d <= 0:
+            return budget_per_host
+        return min(budget_per_host, max(1, window_ms // d))
     result = SimResult()
     frontier: dict = {}  # canon -> (priority, warc_ts_us, canon)
 
@@ -94,7 +108,7 @@ def simulate(pages: dict, seeds: list, robots: dict,
         per_host_order = {}
         scheduled = []
         for host in sorted(by_host):
-            queue = [c for _, _, c in sorted(by_host[host])][:budget_per_host]
+            queue = [c for _, _, c in sorted(by_host[host])][:host_budget(host)]
             per_host_order[host] = queue
             scheduled.extend(queue)
         if not scheduled:

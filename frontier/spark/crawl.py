@@ -167,7 +167,8 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
           target_fpp: float = DEFAULT_TARGET_FPP,
           fetch_mode: str = "auto",
           broadcast_fetch_max: int = DEFAULT_BROADCAST_FETCH_MAX,
-          sitemap_offers: DataFrame | None = None) -> dict:
+          sitemap_offers: DataFrame | None = None,
+          window_ms: int | None = None) -> dict:
     """Run (or resume) a crawl; returns the final manifest dict.
 
     seeds: (url, priority, source_rank) — source_rank breaks dup-seed
@@ -181,6 +182,14 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
     simulator offering seeds before sitemap rows. Robots-gated at
     entry like any offer. Ignored on resume (the committed state
     already absorbed them).
+
+    window_ms: honor robots Crawl-delay in the politeness cut — a
+    host with delay d ms serves at most max(1, window_ms // d)
+    fetches per round (politeness_cut's delay rule). The delay
+    column joins onto the slim staged frontier on the SAME host key
+    the politeness window partitions by — a uniform-key equi-join,
+    never a broadcast of the unbounded robots relation (the r4 scale
+    rule). The simulator mirrors the rule (robots_delay/window_ms).
 
     fetch_mode: "broadcast" | "copartition" | "auto" (broadcast while
     the scheduled batch is ≤ broadcast_fetch_max rows, co-partitioned
@@ -244,7 +253,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                 budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                 have_bloom, seen_exact, seen_bloom, blocked,
                 blocked_pending, fetch_mode, broadcast_fetch_max,
-                target_fpp)
+                target_fpp, window_ms)
         finally:
             _release_ckpts()
         if stop:
@@ -322,7 +331,7 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
                  budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                  have_bloom, seen_exact, seen_bloom, blocked,
                  blocked_pending, fetch_mode, broadcast_fetch_max,
-                 target_fpp) -> bool:
+                 target_fpp, window_ms=None) -> bool:
     """One crawl round; returns True when the frontier is exhausted.
     Every intermediate the round materializes goes through
     :func:`_ckpt`; the caller frees the blocks in a finally (round-2
@@ -354,7 +363,24 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     # seen update AND the bloom build — without it each consumer
     # recomputes the window chain. Its count is the ONE pre-commit
     # action per round (empty-check + metric in one).
-    batch = _ckpt(sched.politeness_cut(staged, budget_per_host)
+    # window_ms: the robots Crawl-delay caps each host's budget at
+    # max(1, window_ms // delay). The delay column equi-joins onto
+    # the SLIM staged frontier on host — the politeness window's own
+    # key, so the join and the window share one exchange; the robots
+    # relation is never broadcast (unbounded at 10^8 hosts, r4 rule).
+    to_cut, delay_col = staged, None
+    if window_ms is not None and robots is not None:
+        to_cut = staged.join(
+            robots.select("host",
+                          F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+                          .alias("_delay_ms")),
+            "host", "left") \
+            .withColumn("_delay_ms",
+                        F.coalesce(F.col("_delay_ms"), F.lit(0)))
+        delay_col = "_delay_ms"
+    batch = _ckpt(sched.politeness_cut(to_cut, budget_per_host,
+                                       delay_col=delay_col,
+                                       window_ms=window_ms)
                   .select(*FRONTIER_COLS, "host", "rank_in_host"))
     _lap("batch built")
     n_scheduled = batch.count()

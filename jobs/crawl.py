@@ -38,6 +38,10 @@ def main():
                          " byte-identical)")
     ap.add_argument("--target-fpp", type=float, default=0.02,
                     help="bloom saturation guard threshold")
+    ap.add_argument("--window-ms", type=int, default=None,
+                    help="honor robots Crawl-delay in the politeness "
+                         "cut: a host with delay d ms serves at most "
+                         "max(1, window_ms // d) fetches per round")
     ap.add_argument("--sitemaps", action="store_true",
                     help="ingest sitemaps as a third seed source: the "
                          "robots gate is parsed from RAW robots.txt "
@@ -150,7 +154,8 @@ def main():
                            resume=args.resume,
                            fetch_mode=args.fetch_mode,
                            target_fpp=args.target_fpp,
-                           sitemap_offers=offers)
+                           sitemap_offers=offers,
+                           window_ms=args.window_ms)
     if offers is not None:
         from frontier.spark import sitemaps
         sitemaps.release_checkpoints()  # seed-time gate committed

@@ -379,3 +379,45 @@ def test_recrawl_schedule_changefreq_priors(spark):
                for r in priors.collect()}
     assert clamped["https://z.example/"] == 86_400
     assert clamped["https://r.example/"] == 2_592_000
+
+
+def test_crawl_delay_capped_budgets_match_simulator(
+        spark, corpus, sim_inputs, tmp_path):
+    """Crawl-delay-aware politeness inside the LOOP: crawl(window_ms=
+    500) caps each host's per-round budget at max(1, 500 // delay_ms)
+    — synth delays span 0..400 ms so the cap binds at 2 (200 ms) and
+    1 (300/400 ms) while 0/100 ms hosts keep the full budget. Per-
+    round scheduled sets and the final seen set match the simulator
+    running the same rule, and the cap provably bites (some host
+    schedules fewer URLs than an uncapped run)."""
+    _, page_index, seeds, robots = corpus
+    pages_map, seed_list, robots_map = sim_inputs
+    window_ms = 500
+
+    store = SnapshotStore(str(tmp_path / "delaycrawl"))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=BUDGET, max_rounds=ROUNDS,
+                num_buckets=8, window_ms=window_ms)
+    delay_map = {r.host: r.crawl_delay_ms for r in robots.collect()}
+    sim = simulator.simulate(pages_map, seed_list, robots_map,
+                             budget_per_host=BUDGET, max_rounds=ROUNDS,
+                             robots_delay=delay_map,
+                             window_ms=window_ms)
+
+    spark_sched = []
+    for sid in store.snapshot_ids():
+        batch = store.read(spark, "batch", sid)
+        spark_sched.append({r.url_canon for r in
+                            batch.select("url_canon").collect()})
+    sim_sched = [set(rd["scheduled"]) for rd in sim.rounds]
+    assert spark_sched == sim_sched[:len(spark_sched)]
+    seen_rows = store.read(spark, "seen_exact").collect()
+    assert {r.url_canon for r in seen_rows} == sim.seen
+
+    # the cap bites: an uncapped simulator run schedules MORE in
+    # some round (delay>=200 hosts exist with >cap queued URLs)
+    sim_uncapped = simulator.simulate(
+        pages_map, seed_list, robots_map,
+        budget_per_host=BUDGET, max_rounds=ROUNDS)
+    assert any(len(rd["scheduled"]) > len(rc["scheduled"])
+               for rd, rc in zip(sim_uncapped.rounds, sim.rounds))
