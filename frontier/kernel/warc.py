@@ -134,3 +134,15 @@ def page_record(url: str, ts_us: int, html: bytes) -> bytes:
         ("WARC-Date", format_warc_date(ts_us)),
         ("Content-Type", "multipart/related"),
     ], html)
+
+
+def conversion_record(url: str, ts_us: int, text: str) -> bytes:
+    """results-relation row → WARC ``conversion`` record — the WET
+    shape (Common Crawl's extracted-text sidecars are WARC files of
+    conversion records, one per page, UTF-8 plain-text block)."""
+    return encode_record([
+        ("WARC-Type", "conversion"),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", format_warc_date(ts_us)),
+        ("Content-Type", "text/plain"),
+    ], text.encode("utf-8"))

@@ -142,6 +142,99 @@ def write_warc_files(pages: DataFrame, out_dir: str,
     slim.foreachPartition(dump)
 
 
+def write_wet_files(results: DataFrame, out_dir: str,
+                    compress: bool = False,
+                    url_col: str = "url_canon",
+                    ts_col: str | None = None,
+                    text_col: str = "text") -> None:
+    """Extracted-text relation → WET files (Common Crawl's
+    extracted-text sidecar: a WARC of ``conversion`` records, one per
+    page, UTF-8 plain-text block). One ``.warc.wet[.gz]`` file per
+    partition, executor-side, no driver collect; ``compress`` writes
+    the member-gzip framing. The natural export of the crawl's
+    ``results`` table (url_canon, text) — ``ts_col=None`` stamps
+    epoch 0 (results carry no fetch timestamp; pass the page ts
+    column when exporting a joined relation). Round-trips through
+    :func:`ingest_wet_files` (tests/test_warc.py)."""
+    import uuid
+
+    from frontier.kernel import warc as kwarc
+
+    os.makedirs(out_dir, exist_ok=True)
+    ts = (F.unix_micros(F.col(ts_col)) if ts_col is not None
+          else F.lit(0).cast("long"))
+    slim = results.select(F.col(url_col).alias("url"),
+                          ts.alias("ts_us"),
+                          F.col(text_col).alias("text")) \
+        .where(F.col("text").isNotNull())
+    ext = ".warc.wet.gz" if compress else ".warc.wet"
+
+    def dump(rows):
+        fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}{ext}")
+        wrote = False
+        with open(fname, "wb") as fh:
+            for row in rows:
+                record = kwarc.conversion_record(
+                    row["url"], int(row["ts_us"]), row["text"])
+                fh.write(kwarc.gzip_member(record) if compress
+                         else record)
+                wrote = True
+        if not wrote:
+            os.remove(fname)  # empty partition: no empty file
+
+    slim.foreachPartition(dump)
+
+
+def ingest_wet_files(spark: SparkSession, path: str,
+                     glob: str = "*.wet*") -> DataFrame:
+    """Directory of WET files → (url, warc_ts, text).
+
+    Same per-file sniff/skip contract as :func:`ingest_warc_files`
+    (§2.8: a malformed FILE is skipped, never fails the task); only
+    ``conversion`` records are kept and their blocks decode as UTF-8
+    text (errors replaced — crawled WET is not always clean)."""
+    import pyarrow as pa
+
+    from frontier.kernel import warc as kwarc
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob)
+           .load(path)
+           .select("content"))
+
+    def split(batches):
+        for batch in batches:
+            blobs = batch.column("content").to_pylist()
+            urls, tss, texts = [], [], []
+            for blob in blobs:
+                try:
+                    if bytes(blob[:2]) == kwarc.GZIP_MAGIC:
+                        blob = kwarc.gunzip_members(blob)
+                    records = kwarc.parse_warc_records(blob)
+                except Exception:
+                    continue  # malformed file: skip, never fail task
+                for headers, start, end in records:
+                    if headers.get("WARC-Type") != "conversion":
+                        continue
+                    date = headers.get("WARC-Date")
+                    try:
+                        ts = kwarc.parse_warc_date(date) if date else 0
+                    except ValueError:
+                        ts = 0
+                    urls.append(headers.get("WARC-Target-URI"))
+                    tss.append(ts)
+                    texts.append(blob[start:end].decode(
+                        "utf-8", errors="replace"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(texts, pa.string())],
+                names=["url", "warc_ts", "text"])
+
+    return raw.mapInArrow(split, "url string, warc_ts timestamp, "
+                                 "text string")
+
+
 def ingest_warc_files(spark: SparkSession, path: str,
                       glob: str = "*.warc*") -> DataFrame:
     """Directory of WARC files → pages(url, warc_ts, html, text, lang).

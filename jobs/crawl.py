@@ -38,6 +38,10 @@ def main():
                          " byte-identical)")
     ap.add_argument("--target-fpp", type=float, default=0.02,
                     help="bloom saturation guard threshold")
+    ap.add_argument("--wet-out", default=None, metavar="DIR",
+                    help="after the crawl, export every extracted "
+                         "text as Common-Crawl-style WET files "
+                         "(member-gzip WARC conversion records)")
     ap.add_argument("--window-ms", type=int, default=None,
                     help="honor robots Crawl-delay in the politeness "
                          "cut: a host with delay d ms serves at most "
@@ -159,6 +163,12 @@ def main():
     if offers is not None:
         from frontier.spark import sitemaps
         sitemaps.release_checkpoints()  # seed-time gate committed
+    if args.wet_out:
+        from frontier.spark import sources
+        results = crawl.collect_results(spark, store)
+        if results is not None:
+            sources.write_wet_files(results, args.wet_out,
+                                    compress=True)
     elapsed = time.perf_counter() - t0
     if args.compact_expire > 0:
         compacted = store.compact_results(spark)

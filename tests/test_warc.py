@@ -1,5 +1,6 @@
 """WARC source/sink: kernel codec round trip + Spark ingest parity."""
 
+import pyspark.sql.functions as F
 import pytest
 
 from frontier.kernel import warc
@@ -166,3 +167,60 @@ def test_spark_warc_gz_skips_corrupt_member_file(spark, sf_dir, tmp_path):
     (out / "bad.warc.gz").write_bytes(b"\x1f\x8bnot really gzip")
     back = sources.ingest_warc_files(spark, str(out))
     assert back.count() == 10
+
+
+def test_wet_conversion_record_kernel():
+    rec = warc.conversion_record("https://h.example/p",
+                                 1735689600_123456, "héllo\nwörld")
+    ((headers, start, end),) = warc.parse_warc_records(rec)
+    assert headers.get("WARC-Type") == "conversion"
+    assert headers.get("Content-Type") == "text/plain"
+    assert rec[start:end].decode("utf-8") == "héllo\nwörld"
+    assert warc.parse_warc_date(headers.get("WARC-Date")) \
+        == 1735689600_123456
+
+
+def test_spark_wet_roundtrip(spark, tmp_path):
+    """results → WET (plain + member-gzip, mixed in one dir) → ingest
+    recovers every (url, text) pair; response records in the same dir
+    are filtered out by WARC-Type; default epoch-0 stamp and ts_col
+    stamping both round-trip."""
+    from frontier.spark import sources
+
+    rows = [(f"https://h{i}.example/p", f"text {i} é\n", 1_000_000 * i)
+            for i in range(20)]
+    results = spark.createDataFrame(
+        rows, "url_canon string, text string, us long") \
+        .withColumn("warc_ts", F.timestamp_micros("us"))
+
+    out = str(tmp_path / "wet")
+    sources.write_wet_files(results.where("us < 10000000"), out,
+                            compress=False, ts_col="warc_ts")
+    sources.write_wet_files(results.where("us >= 10000000"), out,
+                            compress=True, ts_col="warc_ts")
+    # a conversion-typed impostor dir-mate plus a response record in
+    # a .wet-named file: ingest must keep only conversion records
+    impostor = warc.page_record("https://resp.example/", 0, b"<html>")
+    (tmp_path / "wet" / "mixed.warc.wet").write_bytes(
+        impostor + warc.conversion_record("https://extra.example/",
+                                          7, "extra"))
+
+    got = {(r.url, r.text, int(r.warc_ts.timestamp() * 1_000_000))
+           for r in sources.ingest_wet_files(spark, out).collect()}
+    want = {(u, t, us) for u, t, us in rows}
+    want.add(("https://extra.example/", "extra", 7))
+    assert got == want
+    assert not any(u.startswith("https://resp") for u, _, _ in got)
+
+
+def test_spark_wet_null_text_skipped(spark, tmp_path):
+    from frontier.spark import sources
+
+    results = spark.createDataFrame(
+        [("https://a.example/", "kept"), ("https://b.example/", None)],
+        "url_canon string, text string")
+    out = str(tmp_path / "wet2")
+    sources.write_wet_files(results, out)
+    rows = sources.ingest_wet_files(spark, out).collect()
+    assert [(r.url, r.text, int(r.warc_ts.timestamp() * 1_000_000))
+            for r in rows] == [("https://a.example/", "kept", 0)]
