@@ -473,8 +473,13 @@ def q_decontam_overlap(spark, sf_dir):
 
 
 def q_unigram_logprob(spark, sf_dir):
+    """Per-doc unigram LM score (integer micro-nats) + the CCNet
+    head/middle/tail perplexity bucket (r5: perplexity_buckets —
+    exact k-th-ranked thresholds from the deterministic md5-basis
+    sample, here the full corpus; value-based assignment)."""
     from frontier.spark import textops
-    return textops.unigram_logprob(_read(spark, sf_dir, "documents"))
+    scored = textops.unigram_logprob(_read(spark, sf_dir, "documents"))
+    return textops.perplexity_buckets(scored)
 
 
 def q_events_asof(spark, sf_dir):
@@ -1782,16 +1787,37 @@ def oracle_sql() -> dict[str, str]:
             ), freq AS (
               SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
             ), tot AS (SELECT count(*) AS total_toks FROM toks)
-            SELECT t.doc_id,
-                   count(*) AS n_tokens,
-                   CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
-                                       0) AS BIGINT)) AS BIGINT)
-                     AS sum_lp_micro,
-                   CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
-                                       0) AS BIGINT)) AS BIGINT)
-                     / count(*) AS mean_lp_micro
-            FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
-            GROUP BY t.doc_id""",
+            , scored AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
+                                         0) AS BIGINT)) AS BIGINT)
+                       AS sum_lp_micro,
+                     CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
+                                         0) AS BIGINT)) AS BIGINT)
+                       / count(*) AS mean_lp_micro
+              FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+              GROUP BY t.doc_id)
+            , sample AS (
+              SELECT mean_lp_micro AS s, doc_id AS id FROM scored
+              WHERE CAST(('0x' || substring(
+                      md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 < 10000)
+            , ranked AS (
+              SELECT s, row_number() OVER (ORDER BY s DESC, id) AS rn,
+                     count(*) OVER () AS n
+              FROM sample)
+            , th AS (
+              SELECT min(CASE WHEN rn <= ceil(0.1 * n) THEN s END)
+                       AS th_head,
+                     min(CASE WHEN rn <= ceil(0.6 * n) THEN s END)
+                       AS th_tail
+              FROM ranked)
+            SELECT doc_id, n_tokens, sum_lp_micro, mean_lp_micro,
+                   CASE WHEN mean_lp_micro >= th.th_head THEN 'head'
+                        WHEN mean_lp_micro >= th.th_tail THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored CROSS JOIN th""",
         "events_range_count": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),

@@ -119,9 +119,23 @@ def main():
     for impl, (t8, t32, eff) in results.items():
         md.append(f"| {impl} | {t8:.2f} | {t32:.2f} | {eff:.3f} |")
     md.append("")
-    with open(os.path.join(REPO, "BENCH", "scaling_crawl_raw.md"),
-              "w") as fh:
+    # preserve manually-recorded sections (streaming-loop regimes,
+    # standalone clean-window runs): everything from the first
+    # non-crawl-loop '# ' heading onward survives the rewrite
+    raw_path = os.path.join(REPO, "BENCH", "scaling_crawl_raw.md")
+    tail = ""
+    if os.path.exists(raw_path):
+        with open(raw_path) as fh:
+            old = fh.read()
+        for i, line in enumerate(old.splitlines(keepends=True)):
+            if line.startswith("# ") and \
+                    not line.startswith("# crawl-loop scaling raw"):
+                tail = "".join(old.splitlines(keepends=True)[i:])
+                break
+    with open(raw_path, "w") as fh:
         fh.write("\n".join(md) + "\n")
+        if tail:
+            fh.write("\n" + tail)
     spark.stop()
 
 

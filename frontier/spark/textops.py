@@ -949,6 +949,66 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
                     .alias("mean_lp_micro")))
 
 
+def perplexity_buckets(scored: DataFrame,
+                       head_frac: float = 0.1,
+                       tail_frac: float = 0.6,
+                       sample_bp: int = 10_000,
+                       salt: str = "ppl",
+                       id_col: str = "doc_id",
+                       score_col: str = "mean_lp_micro") -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" §4.3): rank documents by LM score and cut the corpus
+    at fixed fractions — ``head`` = the best-scoring ``head_frac``,
+    ``middle`` up to ``tail_frac``, ``tail`` the rest. Here the score
+    is :func:`unigram_logprob`'s ``mean_lp_micro`` (HIGHER = more
+    probable = lower perplexity = better, so head = highest scores).
+
+    Thresholds come from a DETERMINISTIC sample (the
+    :func:`stratified_sample` md5-basis-point idiom over ``id_col``;
+    ``sample_bp=10000`` = the whole corpus) as exact k-th-ranked
+    VALUES (rank order ``(score desc, id)``) — never a float
+    percentile interpolation, so both engines agree bit-for-bit, and
+    bucket assignment compares VALUES, so rank ties cannot diverge.
+    CCNet itself computes cutoffs on a held-out sample and applies
+    them to every shard — the same freeze-then-apply shape as the
+    frozen :func:`unigram_model`.
+
+    Plan shape at scale: one narrow sample filter, ONE sort of the
+    bounded sample (size ``n·sample_bp/10⁴`` — pick ``sample_bp`` so
+    it fits an executor; the cutoffs only need sampling accuracy),
+    two single-row threshold broadcasts, then a narrow map over the
+    scored relation. An empty sample yields NULL thresholds → every
+    doc lands in ``tail`` (deterministic in both engines).
+    """
+    basis = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("bigint") % 10000
+    sample = scored.where(basis < F.lit(int(sample_bp))) \
+        .select(F.col(score_col).alias("_s"),
+                F.col(id_col).alias("_id"))
+    w = Window.orderBy(F.col("_s").desc(), F.col("_id"))
+    ranked = sample.select("_s", F.row_number().over(w).alias("_rn"))
+    counted = sample.agg(F.count("*").alias("_n"))
+    th = (ranked.crossJoin(F.broadcast(counted))
+          .agg(F.min(F.when(
+              F.col("_rn") <= F.ceil(F.lit(float(head_frac))
+                                     * F.col("_n")),
+              F.col("_s"))).alias("_th_head"),
+              F.min(F.when(
+                  F.col("_rn") <= F.ceil(F.lit(float(tail_frac))
+                                         * F.col("_n")),
+                  F.col("_s"))).alias("_th_tail")))
+    return (scored.crossJoin(F.broadcast(th))
+            .withColumn("bucket",
+                        F.when(F.col(score_col) >= F.col("_th_head"),
+                               F.lit("head"))
+                        .when(F.col(score_col) >= F.col("_th_tail"),
+                              F.lit("middle"))
+                        .otherwise(F.lit("tail")))
+            .drop("_th_head", "_th_tail"))
+
+
 def paragraph_dedup(docs: DataFrame, min_count: int = 2,
                     text_col: str = "text") -> DataFrame:
     """Paragraph-level deduplication (Lee et al. 2022,

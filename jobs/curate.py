@@ -68,7 +68,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
                 eval_docs=None, semantic_casualties=None,
-                lm_model=None):
+                lm_model=None, ppl_keep=None):
     """The curation gates as boolean columns over ``docs`` — the
     job's whole selection logic, importable for tests.
 
@@ -90,6 +90,12 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
     ``lm_model``: optional FROZEN ``textops.unigram_model`` relation
     for the q_lm gate; None keeps the self-scored default (the
     oracle-pinned behavior).
+
+    ``ppl_keep``: optional set of CCNet perplexity buckets to keep
+    (e.g. ``{"head", "middle"}``) — adds a ``q_ppl`` gate from
+    ``textops.perplexity_buckets`` over the SAME LM scores the q_lm
+    floor uses (CCNet §4.3 keeps head+middle and drops the tail).
+    None (default) adds no bucket gate.
     """
     from pyspark.sql import functions as F
 
@@ -149,6 +155,13 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
          .select("doc_id", (F.col("mean_lp_micro") >= min_lp)
                  .alias("q_lm")),
          False),
+        *([("q_ppl",
+            textops.perplexity_buckets(
+                textops.unigram_logprob(docs, model=lm_model))
+            .select("doc_id",
+                    F.col("bucket").isin(*sorted(ppl_keep))
+                    .alias("q_ppl")),
+            False)] if ppl_keep else []),
     ]
     flagged = docs
     for name, g, default in gates:
@@ -183,6 +196,11 @@ def main():
                     help="FROZEN textops.unigram_model parquet for "
                          "the LM gate; defaults to self-scoring the "
                          "input corpus (the oracle-pinned demo)")
+    ap.add_argument("--ppl-keep", metavar="BUCKETS",
+                    help="CCNet perplexity-bucket gate: comma list of "
+                         "buckets to keep (e.g. 'head,middle' — CCNet "
+                         "keeps these and drops the tail); off by "
+                         "default")
     ap.add_argument("--streaming-in", metavar="DIR",
                     help="continuous-ingestion mode: curate document "
                          "parquet files landing in DIR via "
@@ -313,7 +331,9 @@ def main():
         eval_docs=eval_docs,
         semantic_casualties=semantic_casualties,
         lm_model=(spark.read.parquet(args.lm_model)
-                  if args.lm_model else None))
+                  if args.lm_model else None),
+        ppl_keep=(set(args.ppl_keep.split(","))
+                  if args.ppl_keep else None))
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))

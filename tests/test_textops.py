@@ -853,3 +853,79 @@ def test_curate_streaming_cli(spark, tmp_path):
     # the duplicate never re-emits; totals add up across invocations
     assert got.where(F.col("doc_id") == 999999).count() == 0
     assert got.count() == s1["n_selected_new"] + s2["n_selected_new"]
+
+
+def test_perplexity_buckets_exact_thresholds(spark):
+    """CCNet head/middle/tail: thresholds are exact k-th-ranked
+    VALUES (k = ceil(frac·n), order score desc) and assignment is by
+    VALUE — so 10 docs with scores 100..10 split 1/5/4 at the default
+    (0.1, 0.6) fractions; ties at a threshold all take the better
+    bucket; an empty sample degrades every doc to 'tail'."""
+    from frontier.spark import textops
+
+    scored = spark.createDataFrame(
+        [(i, (10 - i) * 10.0) for i in range(10)],  # 100,90,...,10
+        "doc_id long, mean_lp_micro double")
+    out = {r.doc_id: r.bucket
+           for r in textops.perplexity_buckets(scored).collect()}
+    # k_head = ceil(0.1*10) = 1 → threshold 100; k_tail = 6 → 50
+    assert out[0] == "head"
+    assert all(out[i] == "middle" for i in range(1, 6)), out
+    assert all(out[i] == "tail" for i in range(6, 10)), out
+
+    # ties at the head threshold: two docs share the top score →
+    # BOTH are head (value comparison, not rank slicing)
+    tied = spark.createDataFrame(
+        [(0, 100.0), (1, 100.0)] + [(i, 10.0 * (10 - i))
+                                    for i in range(2, 10)],
+        "doc_id long, mean_lp_micro double")
+    out_t = {r.doc_id: r.bucket
+             for r in textops.perplexity_buckets(tied).collect()}
+    assert out_t[0] == "head" and out_t[1] == "head"
+
+    # empty sample (sample_bp=0): NULL thresholds → all tail
+    out_e = {r.doc_id: r.bucket
+             for r in textops.perplexity_buckets(
+                 scored, sample_bp=0).collect()}
+    assert set(out_e.values()) == {"tail"}
+
+    # composes with the real scorer end-to-end (bucket column rides
+    # the unigram_logprob relation; every bucket non-null)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common common") for i in range(12)],
+        "doc_id long, text string")
+    full = textops.perplexity_buckets(textops.unigram_logprob(docs))
+    rows = full.collect()
+    assert len(rows) == 12
+    assert {"head", "middle", "tail"} >= {r.bucket for r in rows}
+    assert all(r.bucket is not None for r in rows)
+
+
+def test_curate_ppl_bucket_gate(spark):
+    """--ppl-keep adds the CCNet bucket gate: q_ppl is true exactly
+    for docs whose perplexity bucket is in the keep set (derived from
+    the same LM scores the q_lm floor uses), the default pipeline is
+    unchanged (no q_ppl column), and the composed plan still has no
+    cartesian product."""
+    from jobs.curate import build_flags
+    from frontier.spark import textops
+
+    docs = spark.createDataFrame(
+        [(i, "common words here " * 3
+             + " ".join(f"rare{i}x{j}" for j in range(i)), "en")
+         for i in range(30)],
+        "doc_id long, text string, lang string")  # distinct scores
+
+    flagged_off, cols_off = build_flags(docs)
+    assert "q_ppl" not in cols_off
+
+    flagged, cols = build_flags(docs, ppl_keep={"head", "middle"})
+    assert cols[-1] == "q_ppl"
+    got = {r.doc_id: r.q_ppl for r in flagged.collect()}
+    want = {r.doc_id: r.bucket in ("head", "middle")
+            for r in textops.perplexity_buckets(
+                textops.unigram_logprob(docs)).collect()}
+    assert got == want
+    assert any(v for v in got.values()) and not all(got.values())
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
