@@ -985,8 +985,10 @@ WITH elems AS (
          UNNEST(generate_series(1, len(embedding))) AS i
   FROM embeddings
 ), comp AS (
+  -- floor(x*1024): the IVF quantization rule — every dot an
+  -- integer-valued double, bit-identical under any sum order
   SELECT e.vec_id, b.band, t.bit,
-         SUM(CAST(e.x AS DOUBLE) *
+         SUM(floor(CAST(e.x AS DOUBLE) * 1024) *
              CASE WHEN (CAST(concat('0x', substr(md5(
                     'hp:' || b.band || ':' || t.bit || ':'
                     || (e.i - 1)), 1, 2)) AS INTEGER) & 1) = 1
@@ -1915,13 +1917,19 @@ def oracle_sql() -> dict[str, str]:
                AND l.vec_id < r.vec_id)
             SELECT c.vec_a, c.vec_b,
                    CAST(floor(list_cosine_similarity(
-                       a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                       list_transform(a.embedding::DOUBLE[],
+                                      x -> floor(x * 1024)),
+                       list_transform(b.embedding::DOUBLE[],
+                                      x -> floor(x * 1024)))
                        * 1000000) AS BIGINT) AS cosine_u
             FROM cand c
             JOIN embeddings a ON a.vec_id = c.vec_a
             JOIN embeddings b ON b.vec_id = c.vec_b
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.4""",
+            WHERE list_cosine_similarity(
+                    list_transform(a.embedding::DOUBLE[],
+                                   x -> floor(x * 1024)),
+                    list_transform(b.embedding::DOUBLE[],
+                                   x -> floor(x * 1024))) >= 0.4""",
         "mhtml_meta": """
             SELECT doc_id, TRUE AS loc_matches, 1 AS n_ct,
                    3 AS n_headers,

@@ -106,8 +106,12 @@ def test_ivf_topk_recall_and_determinism(emb):
 
 
 def test_cosine_near_dup_no_false_positives(emb):
-    """Every returned pair really is >= threshold (exact verify is
-    part of the operator); pairs are canonical a<b and deduped."""
+    """Every returned pair really is >= threshold under the
+    operator's QUANTIZED verify (r5: floor(x·2^10) vectors —
+    cosine_u must equal the quantized numpy cosine EXACTLY, every
+    summation order being integer-equal), the raw-vector cosine
+    agrees within the quantization error bound, and pairs are
+    canonical a<b and deduped."""
     df, vecs = emb
     thr = 0.3
     got = ann.cosine_near_dup(df, threshold=thr, dim=DIM,
@@ -115,12 +119,16 @@ def test_cosine_near_dup_no_false_positives(emb):
     rows = [(r.vec_a, r.vec_b, r.cosine_u) for r in got.collect()]
     assert len(rows) == len(set((a, b) for a, b, _ in rows))
     v64 = vecs.astype(np.float64)
+    q = np.floor(v64 * ann.IVF_QUANT)
+    qnorms = np.linalg.norm(q, axis=1)
     norms = np.linalg.norm(v64, axis=1)
     for a, b, cu in rows:
         assert a < b
-        cos = float(v64[a] @ v64[b] / (norms[a] * norms[b]))
-        assert cos >= thr - 1e-9
-        assert abs(cu - int(np.floor(cos * 1_000_000))) <= 1
+        qcos = float(q[a] @ q[b] / (qnorms[a] * qnorms[b]))
+        assert qcos >= thr
+        assert cu == int(np.floor(qcos * 1_000_000))  # EXACT
+        raw = float(v64[a] @ v64[b] / (norms[a] * norms[b]))
+        assert abs(raw - qcos) < 5e-3  # quantization error bound
 
 
 def test_ivf_trained_codebook_beats_seeds_on_clustered(spark):
@@ -258,3 +266,26 @@ def test_ivf_assign_tie_and_nan_rules(spark):
     assert got == {0: 1,   # tie between cells 1 and 2 → lowest (1)
                    1: 0,
                    2: 0}   # NaN row → lowest cell_id
+
+
+def test_sign_sketch_paths_agree(emb):
+    """The numpy-matmul path (dim given) and the JVM-md5 per-element
+    path (dim=None) must emit IDENTICAL band keys — the quantized
+    integer-double dots make every summation order bit-equal, which
+    is the invariant that licenses the fast path."""
+    df, _ = emb
+    base = df.select("vec_id",
+                     ann._as_double(F.col("embedding")).alias("v"))
+
+    def keys(sk):
+        return {(r.vec_id, r.b.band, r.b.key)
+                for r in sk.select("vec_id",
+                                   F.explode("bands").alias("b"))
+                .collect()}
+
+    fast = keys(ann.sign_sketch(base, "v", DIM,
+                                n_bands=8, bits_per_band=4))
+    dyn = keys(ann.sign_sketch(base, "v", None,
+                               n_bands=8, bits_per_band=4))
+    assert fast == dyn
+    assert len(fast) == df.count() * 8
