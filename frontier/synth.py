@@ -504,9 +504,9 @@ def sitemap_docs_df(spark, sf_dir: str):
     serves, distributed: membership is a narrow doc_id map, body
     construction one uniform-key (host) shuffle — ~NUM_HOSTS groups,
     each bounded by the host's member count."""
-    # module-level pandas import: under ``from __future__ import
-    # annotations`` applyInPandas resolves the string type hints
-    # against MODULE globals (frontier-round5 finding)
+    # pandas is imported at module level: under ``from __future__
+    # import annotations`` applyInPandas resolves the (stringified)
+    # type hints against MODULE globals
     import pyarrow as pa
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
