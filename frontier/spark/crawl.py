@@ -168,7 +168,8 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
           fetch_mode: str = "auto",
           broadcast_fetch_max: int = DEFAULT_BROADCAST_FETCH_MAX,
           sitemap_offers: DataFrame | None = None,
-          window_ms: int | None = None) -> dict:
+          window_ms: int | None = None,
+          robots_docs: DataFrame | None = None) -> dict:
     """Run (or resume) a crawl; returns the final manifest dict.
 
     seeds: (url, priority, source_rank) — source_rank breaks dup-seed
@@ -191,6 +192,24 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
     never a broadcast of the unbounded robots relation (the r4 scale
     rule). The simulator mirrors the rule (robots_delay/window_ms).
 
+    robots_docs: (host, robots_txt bytes) — switch to INCREMENTAL
+    robots acquisition, how a real frontier works: instead of a
+    pre-known gate relation (``robots``, ignored in this mode), each
+    round fetches + parses robots.txt for exactly the hosts its
+    fresh offers touch (anti-join against the hosts already known),
+    and the growing ``robots_rules`` relation is crawl STATE —
+    committed as an append table (only the round's delta is
+    written), resume-safe like seen/blocked. Hosts with no robots
+    document become null-rule rows (RFC 9309 §2.3.1: unavailable =
+    allow-all) so they are never re-fetched. Because robots(host) is
+    the same function whether acquired lazily or known upfront, the
+    final crawl state is IDENTICAL to the static gate — pinned by
+    tests/test_crawl.py::test_incremental_robots_equals_static.
+    Scale shape: the new-host set is bounded by hosts-per-round,
+    the fetch join keys on host, and the known relation is only
+    ever scanned (the gate prunes it to the round's hosts before
+    broadcasting).
+
     fetch_mode: "broadcast" | "copartition" | "auto" (broadcast while
     the scheduled batch is ≤ broadcast_fetch_max rows, co-partitioned
     join beyond — the batch row count is already on the driver, so
@@ -202,12 +221,16 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
     bloom_bits = int(bloom_bits_per_bucket)
     rebuild_bloom = False
 
+    incremental = robots_docs is not None
+    robots_pending = spark.createDataFrame([], sched.ROBOTS_DDL)
     latest = store.manifest() if resume else None
     if latest is not None:
         frontier = store.read(spark, "frontier")
         seen_exact = store.read(spark, "seen_exact")
         seen_bloom = store.read(spark, "seen_bloom")
         blocked = store.read(spark, "blocked")
+        if incremental:
+            robots = store.read(spark, "robots_rules")
         start_round = latest["metrics"]["round"] + 1
         have_bloom = True
         # recover saturation state from the manifest (resume contract)
@@ -223,6 +246,13 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                 .join(frontier.select("url_canon"),
                       "url_canon", "left_anti"))
         blocked = spark.createDataFrame([], "url_canon string")
+        if incremental:
+            # acquire robots for the seed/sitemap hosts before the
+            # entry gate; the delta rides round 0's append commit
+            robots = spark.createDataFrame([], sched.ROBOTS_DDL)
+            robots_pending = _ckpt(_acquire_robots(
+                robots, sched.with_host(frontier), robots_docs))
+            robots = robots.unionByName(robots_pending)
         if robots is not None:
             frontier, blocked = _gate_frontier(frontier, robots)
         seen_exact = spark.createDataFrame([], "url_canon string")
@@ -253,7 +283,7 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
                 budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                 have_bloom, seen_exact, seen_bloom, blocked,
                 blocked_pending, fetch_mode, broadcast_fetch_max,
-                target_fpp, window_ms)
+                target_fpp, window_ms, robots_docs, robots_pending)
         finally:
             _release_ckpts()
         if stop:
@@ -272,6 +302,9 @@ def crawl(spark: SparkSession, page_index: DataFrame, seeds: DataFrame,
         seen_bloom = store.read(spark, "seen_bloom")
         blocked = store.read(spark, "blocked")
         blocked_pending = spark.createDataFrame([], "url_canon string")
+        if incremental:
+            robots = store.read(spark, "robots_rules")
+            robots_pending = spark.createDataFrame([], sched.ROBOTS_DDL)
         have_bloom = True
 
     _release_ckpts()  # zero-round call: free the seed-gate checkpoint
@@ -327,11 +360,37 @@ def _release_ckpts() -> None:
             pass  # session teardown race — blocks die with the context
 
 
+def _acquire_robots(known: DataFrame, offers_with_host: DataFrame,
+                    robots_docs: DataFrame) -> DataFrame:
+    """Fetch + parse robots.txt for the offer hosts not yet in
+    ``known`` → the round's DELTA of the gate relation
+    (ROBOTS_DDL). The "fetch" is a join against the (host,
+    robots_txt) relation — on a real cluster the HTTP fetcher, here
+    synth.robots_txt_df. Hosts with no robots document become
+    null-rule rows (RFC 9309 §2.3.1: unavailable robots.txt =
+    allow-all) so they are KNOWN and never re-fetched. Bounded: the
+    anti-join's left side is the round's distinct offer hosts."""
+    new_hosts = (offers_with_host.select("host")
+                 .where(F.col("host").isNotNull() & (F.col("host") != ""))
+                 .distinct()
+                 .join(known.select("host"), "host", "left_anti"))
+    fetched = robots_docs.join(new_hosts, "host")  # the fetch stage
+    parsed = sched.robots_from_text(fetched)
+    missing = (new_hosts
+               .join(robots_docs.select("host").distinct(),
+                     "host", "left_anti")
+               .select("host",
+                       F.lit(None).cast(sched.RULES_DDL).alias("rules"),
+                       F.lit(0).alias("crawl_delay_ms")))
+    return parsed.unionByName(missing)
+
+
 def _crawl_round(spark, round_no, frontier, robots, page_index, store,
                  budget_per_host, num_buckets, bloom_bits, rebuild_bloom,
                  have_bloom, seen_exact, seen_bloom, blocked,
                  blocked_pending, fetch_mode, broadcast_fetch_max,
-                 target_fpp, window_ms=None) -> bool:
+                 target_fpp, window_ms=None, robots_docs=None,
+                 robots_pending=None) -> bool:
     """One crawl round; returns True when the frontier is exhausted.
     Every intermediate the round materializes goes through
     :func:`_ckpt`; the caller frees the blocks in a finally (round-2
@@ -477,6 +536,8 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
     # fresh offer (measured ~5 s/round at 2M pages; the pre-r3
     # unmaterialized shape recomputed the whole chain, 19 s + 13 s
     # at sf0.001).
+    robots_delta = robots_pending if robots_pending is not None \
+        else spark.createDataFrame([], sched.ROBOTS_DDL)
     if robots is not None:
         # staged offers checkpoint FIRST: the pruned robots gate
         # (round-5) reads the frontier subtree twice — once for the
@@ -484,6 +545,17 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         # for the gate join — and without this barrier both reads
         # would recompute the whole discovery chain above.
         staged = _ckpt(sched.with_host(fresh))
+        if robots_docs is not None:
+            # incremental acquisition: fetch+parse robots.txt for the
+            # hosts this round's offers touch that aren't known yet;
+            # the delta joins the gate NOW (offers need their hosts'
+            # verdicts this round) and rides this round's append
+            # commit. Checkpointed: read by the gate (via the union)
+            # AND by the commit write.
+            new_rules = _ckpt(_acquire_robots(robots, staged,
+                                              robots_docs))
+            robots = robots.unionByName(new_rules)
+            robots_delta = robots_delta.unionByName(new_rules)
         gated = _ckpt(sched.apply_robots(staged, robots))
         fresh = gated.where(F.col("robots_allowed")) \
             .select(*FRONTIER_COLS)
@@ -539,8 +611,7 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         "budget_per_host": budget_per_host,
         "_bloom": bloom_metrics,
     }
-    _lap("commit plans built")
-    store.commit({
+    tables = {
         "frontier": new_frontier,
         # append tables: only the round's DELTA is written; the
         # manifest chains parent file lists (snapshots.commit)
@@ -549,7 +620,17 @@ def _crawl_round(spark, round_no, frontier, robots, page_index, store,
         "blocked": blocked_delta,
         "batch": batch,
         "results": results,
-    }, metrics, append={"seen_exact", "blocked"})
+    }
+    append = {"seen_exact", "blocked"}
+    if robots_docs is not None:
+        # robots knowledge is crawl state: append the round's newly
+        # acquired rules (incl. any seed-time pending delta)
+        tables["robots_rules"] = robots_delta
+        append.add("robots_rules")
+        metrics["robots_new_hosts"] = \
+            lambda L: L["robots_rules"]["n_rows"]
+    _lap("commit plans built")
+    store.commit(tables, metrics, append=append)
     _lap("commit done")
     return False
 

@@ -38,6 +38,12 @@ def main():
                          " byte-identical)")
     ap.add_argument("--target-fpp", type=float, default=0.02,
                     help="bloom saturation guard threshold")
+    ap.add_argument("--acquire-robots", action="store_true",
+                    help="incremental robots acquisition: fetch+parse "
+                         "robots.txt per newly-touched host inside the "
+                         "loop (the robots_rules append table becomes "
+                         "crawl state) instead of a pre-known gate "
+                         "relation; final state proven identical")
     ap.add_argument("--wet-out", default=None, metavar="DIR",
                     help="after the crawl, export every extracted "
                          "text as Common-Crawl-style WET files "
@@ -96,6 +102,8 @@ def main():
     pages = synth.pages_from_documents(spark, args.sf_dir)
     seeds = synth.seeds_from_documents(spark, args.sf_dir)
     offers = None
+    robots_docs = synth.robots_txt_df(spark) if args.acquire_robots \
+        else None
     if args.sitemaps:
         from frontier.spark import schedule, sitemaps
 
@@ -159,7 +167,8 @@ def main():
                            fetch_mode=args.fetch_mode,
                            target_fpp=args.target_fpp,
                            sitemap_offers=offers,
-                           window_ms=args.window_ms)
+                           window_ms=args.window_ms,
+                           robots_docs=robots_docs)
     if offers is not None:
         from frontier.spark import sitemaps
         sitemaps.release_checkpoints()  # seed-time gate committed

@@ -421,3 +421,75 @@ def test_crawl_delay_capped_budgets_match_simulator(
         budget_per_host=BUDGET, max_rounds=ROUNDS)
     assert any(len(rd["scheduled"]) > len(rc["scheduled"])
                for rd, rc in zip(sim_uncapped.rounds, sim.rounds))
+
+
+def test_incremental_robots_equals_static(spark, corpus, tmp_path):
+    """Incremental robots acquisition (robots_docs=...) — fetch+parse
+    per newly-touched host inside the loop — produces IDENTICAL crawl
+    state to the static pre-known gate: per-round scheduled sets,
+    seen, blocked, and final frontier all match, because robots(host)
+    is the same function however it is acquired. The robots_rules
+    append table must contain exactly the touched hosts (a strict
+    subset of the synthetic web's 1000) and grow monotonically;
+    resume must continue from it."""
+    from frontier import synth
+    from frontier.spark import schedule
+
+    _, page_index, seeds, _ = corpus
+    robots_txt = synth.robots_txt_df(spark)
+    static_rel = schedule.robots_from_text(robots_txt).cache()
+
+    store_s = SnapshotStore(str(tmp_path / "static"))
+    crawl.crawl(spark, page_index, seeds, static_rel, store_s,
+                budget_per_host=BUDGET, max_rounds=ROUNDS,
+                num_buckets=8)
+    store_i = SnapshotStore(str(tmp_path / "incr"))
+    # rounds split 2 + resume 2: the robots_rules state table must
+    # carry the acquired knowledge across the restart
+    crawl.crawl(spark, page_index, seeds, None, store_i,
+                budget_per_host=BUDGET, max_rounds=2,
+                num_buckets=8, robots_docs=robots_txt)
+    crawl.crawl(spark, page_index, seeds, None, store_i,
+                budget_per_host=BUDGET, max_rounds=ROUNDS,
+                num_buckets=8, robots_docs=robots_txt, resume=True)
+
+    def sched_sets(store):
+        out = []
+        for sid in store.snapshot_ids():
+            batch = store.read(spark, "batch", sid)
+            out.append({r.url_canon for r in
+                        batch.select("url_canon").collect()})
+        return out
+
+    assert sched_sets(store_i) == sched_sets(store_s)
+    for table in ("seen_exact", "blocked"):
+        got = {r.url_canon for r in store_i.read(spark, table).collect()}
+        want = {r.url_canon
+                for r in store_s.read(spark, table).collect()}
+        assert got == want, table
+    fi = {(r.url_canon, r.priority) for r in
+          store_i.read(spark, "frontier").collect()}
+    fs = {(r.url_canon, r.priority) for r in
+          store_s.read(spark, "frontier").collect()}
+    assert fi == fs
+
+    rules = store_i.read(spark, "robots_rules").collect()
+    hosts = [r.host for r in rules]
+    assert len(hosts) == len(set(hosts)), "host re-acquired"
+    assert 0 < len(hosts) < 1000, "must be only the touched hosts"
+    # every host the crawl touched is known; unknown-host seeds got
+    # allow-all null-rule rows
+    touched = set()
+    for s in sched_sets(store_i):
+        touched |= {u.split("//")[1].split("/")[0] for u in s}
+    assert touched <= set(hosts)
+    by_host = {r.host: r for r in rules}
+    assert any(h.startswith("unknown") and by_host[h].rules is None
+               for h in hosts)
+    # parsed rows carry the SAME rules as the static relation
+    static_by_host = {r.host: [(ru.pat, ru.allow) for ru in r.rules]
+                      for r in static_rel.collect()}
+    for r in rules:
+        if r.rules is not None:
+            assert [(ru.pat, ru.allow) for ru in r.rules] \
+                == static_by_host[r.host], r.host
