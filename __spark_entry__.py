@@ -1137,8 +1137,10 @@ def _ivf_oracle_sql(n_cells: int = 16, n_iter: int = 2,
           SELECT c.query_id, c.neighbor_id,
                  row_number() OVER (PARTITION BY c.query_id
                    ORDER BY list_cosine_similarity(
-                       e.embedding::DOUBLE[],
-                       q.embedding::DOUBLE[]) DESC,
+                       list_transform(e.embedding::DOUBLE[],
+                                      x -> floor(x * 1024)),
+                       list_transform(q.embedding::DOUBLE[],
+                                      x -> floor(x * 1024))) DESC,
                      c.neighbor_id ASC) AS rn
           FROM cand c
           JOIN embeddings e ON e.vec_id = c.neighbor_id
@@ -1164,8 +1166,11 @@ def _semantic_dedup_oracle_sql(n_cells: int = 16, n_iter: int = 2,
             ON l.cell_id = r.cell_id AND l.vec_id > r.vec_id
           JOIN embeddings el ON el.vec_id = l.vec_id
           JOIN embeddings er ON er.vec_id = r.vec_id
-          WHERE list_cosine_similarity(el.embedding::DOUBLE[],
-                                       er.embedding::DOUBLE[])
+          WHERE list_cosine_similarity(
+                    list_transform(el.embedding::DOUBLE[],
+                                   x -> floor(x * 1024)),
+                    list_transform(er.embedding::DOUBLE[],
+                                   x -> floor(x * 1024)))
                 >= {threshold}
         )
         SELECT a.vec_id, CAST(a.cell_id AS INTEGER) AS cell_id,
@@ -1470,8 +1475,10 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY c.query_id
                        ORDER BY list_cosine_similarity(
-                           e.embedding::DOUBLE[],
-                           q.embedding::DOUBLE[]) DESC,
+                           list_transform(e.embedding::DOUBLE[],
+                                          x -> floor(x * 1024)),
+                           list_transform(q.embedding::DOUBLE[],
+                                          x -> floor(x * 1024))) DESC,
                          c.neighbor_id ASC) AS rn
               FROM cand c
               JOIN embeddings e ON e.vec_id = c.neighbor_id

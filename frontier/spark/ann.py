@@ -11,15 +11,18 @@ label)``.
   exact re-rank of candidates only. The 100 TB path: candidate count
   per query is ~n/2^bits × bands instead of n.
 
-Vector-math placement (measured, r5): the bounded paths (exact
-re-rank, query probes, pairwise prunes) use Spark SQL higher-order
-functions — JVM, no Python workers — which is right when a join or
-window needs the scores inline. The corpus-scale IVF paths
-(assignment, Lloyd training) instead use Arrow-batched numpy kernels:
-higher-order-function lambdas are INTERPRETED per element (never
-whole-stage-codegen'd), costing ~0.7 s per pass over just 2000×64
-vectors at 16 cells, where one numpy matmul per Arrow batch is
-~milliseconds. Never per-row Python.
+Vector-math placement (measured, r5→r6): EVERY candidate-scoring
+path — IVF assignment, Lloyd training, LSH sketching, the ivf/lsh
+re-ranks, the near-dup verify, and the SemDeDup prune — runs through
+Arrow-batched numpy kernels on quantized vectors
+(:func:`_pair_cos` / :func:`_ivf_assign` / :func:`sign_sketch`):
+Spark SQL higher-order-function lambdas are INTERPRETED per element
+(never whole-stage-codegen'd), measured ~100× slower per element on
+this box (~0.7 s per pass over just 2000×64 vectors at 16 cells,
+where one numpy matmul per Arrow batch is ~milliseconds). The ONLY
+surviving SQL fold is :func:`cosine_topk`'s raw-double exact cosine —
+the documented all-pairs verifier, never a scale path. Never per-row
+Python.
 """
 
 from __future__ import annotations
@@ -42,6 +45,40 @@ def _dot(a, b):
 def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _pair_cos(va_col, vb_col):
+    """Quantized exact cosine for bounded candidate-pair relations —
+    THE candidate scorer for every approximate path (ivf/lsh re-rank,
+    near-dup verify, SemDeDup prune).
+
+    One Arrow-batched numpy pass; inputs are quantized inside
+    (``floor(x·2^10)``, the IVF rule) so dots and norms² are
+    integer-valued doubles — bit-identical under any summation
+    order, hence equal to DuckDB's ``list_cosine_similarity`` over
+    ``list_transform(v, x -> floor(x*1024))``. The SQL
+    higher-order-function fold this replaces is INTERPRETED per
+    element (never codegen'd): measured ~100× slower per element on
+    this box, three prior strikes (IVF assignment, sign_sketch,
+    cosine_near_dup) plus the r5→r6 migration of the re-rank/prune
+    sites. :func:`cosine_topk` deliberately keeps the raw-double SQL
+    fold — it is the documented all-pairs verifier, never the scale
+    path."""
+    @pandas_udf("double")
+    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.floor(np.asarray(va.tolist(), dtype=np.float64)
+                     * IVF_QUANT)
+        b = np.floor(np.asarray(vb.tolist(), dtype=np.float64)
+                     * IVF_QUANT)
+        if a.size == 0:
+            return pd.Series([], dtype=np.float64)
+        dots = np.einsum("ij,ij->i", a, b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dots / (np.sqrt(np.einsum("ij,ij->i", a, a))
+                          * np.sqrt(np.einsum("ij,ij->i", b, b)))
+        return pd.Series(out)
+
+    return pair_cos(va_col, vb_col)
 
 
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3
@@ -383,9 +420,10 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     query probes
     its ``n_probe`` nearest cells and exact-re-ranks only those
     cells' vectors: candidates ≈ n * n_probe / n_cells per query
-    instead of n. Cell assignment uses the quantized vectors (exact
-    integer dots — engine-portable); the final re-rank uses the raw
-    float vectors.
+    instead of n. Cell assignment AND the candidate re-rank both
+    score quantized vectors through Arrow-numpy kernels (exact
+    integer dots — engine-portable and ~100× cheaper than the
+    interpreted SQL fold they replaced; see :func:`_pair_cos`).
 
     Ties broken by (cell_id, neighbor_id) — fully deterministic;
     output schema matches :func:`cosine_topk` for recall evaluation.
@@ -409,8 +447,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
             .select("query_id", "q", "neighbor_id", "v")
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.withColumn(
-        "cosine", _dot(F.col("v"), F.col("q")) /
-        (_norm(F.col("v")) * _norm(F.col("q"))))
+        "cosine", _pair_cos(F.col("v"), F.col("q")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -467,22 +504,8 @@ def cosine_near_dup(embeddings: DataFrame, threshold: float,
                               F.col("v").alias("va")), "vec_a")
             .join(vecs.select(F.col("vec_id").alias("vec_b"),
                               F.col("v").alias("vb")), "vec_b"))
-    @pandas_udf("double")
-    def pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.floor(np.asarray(va.tolist(), dtype=np.float64)
-                     * IVF_QUANT)
-        b = np.floor(np.asarray(vb.tolist(), dtype=np.float64)
-                     * IVF_QUANT)
-        if a.size == 0:
-            return pd.Series([], dtype=np.float64)
-        dots = np.einsum("ij,ij->i", a, b)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            out = dots / (np.sqrt(np.einsum("ij,ij->i", a, a))
-                          * np.sqrt(np.einsum("ij,ij->i", b, b)))
-        return pd.Series(out)
-
     return (cand.withColumn("cosine",
-                            pair_cos(F.col("va"), F.col("vb")))
+                            _pair_cos(F.col("va"), F.col("vb")))
             .where(F.col("cosine") >= threshold)
             .select("vec_a", "vec_b",
                     F.floor(F.col("cosine") * 1_000_000)
@@ -517,8 +540,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "q", "neighbor_id", "v")
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = cand.withColumn(
-        "cosine", _dot(F.col("v"), F.col("q")) /
-        (_norm(F.col("v")) * _norm(F.col("q"))))
+        "cosine", _pair_cos(F.col("v"), F.col("q")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -561,12 +583,12 @@ def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
     right = asg.select(F.col("vec_id").alias("_rid"),
                        F.col("cell_id").alias("_rcell"),
                        F.col("v").alias("_rv"))
-    cos = _dot(F.col("_lv"), F.col("_rv")) / \
-        (_norm(F.col("_lv")) * _norm(F.col("_rv")))
     dropped = (left.join(right,
                          (F.col("_lcell") == F.col("_rcell")) &
                          (F.col("_lid") > F.col("_rid")))
-               .where(cos >= threshold)
+               .withColumn("_pcos",
+                           _pair_cos(F.col("_lv"), F.col("_rv")))
+               .where(F.col("_pcos") >= threshold)
                .select(F.col("_lid").alias("vec_id"))
                .distinct()
                .withColumn("_dropped", F.lit(True)))

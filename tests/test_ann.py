@@ -187,10 +187,23 @@ def test_ivf_codebook_deterministic_and_nonempty(emb):
         assert all(x == int(x) for x in c)
 
 
+def _quantized_sims(vecs):
+    """The operator's pair-scorer restated: cosine over
+    floor(x·2^10) vectors — integer-valued doubles, exact in any
+    summation order (ann._pair_cos / the DuckDB list_transform
+    oracle idiom)."""
+    q = np.floor(vecs.astype(np.float64) * ann.IVF_QUANT)
+    norms = np.linalg.norm(q, axis=1)
+    return (q @ q.T) / np.outer(norms, norms)
+
+
 def test_semantic_dedup_prune_rule_matches_numpy(emb):
     """The SemDeDup rule, checked against numpy given the operator's
     own cell assignment: vec i is dropped iff SOME j < i in the same
-    cell has cosine(i, j) >= threshold — and never otherwise."""
+    cell has QUANTIZED cosine(i, j) >= threshold — and never
+    otherwise (r6: the prune scores through the shared Arrow-numpy
+    quantized pair scorer, so the reference is exact, not
+    tolerance-based)."""
     df, vecs = emb
     thr = 0.3
     rows = ann.semantic_dedup(df, n_cells=8, n_iter=1,
@@ -199,15 +212,40 @@ def test_semantic_dedup_prune_rule_matches_numpy(emb):
     assert {r.vec_id for r in rows} == set(range(N))
     cell = {r.vec_id: r.cell_id for r in rows}
     keep = {r.vec_id: r.keep for r in rows}
-    v = vecs.astype(np.float64)
-    norms = np.linalg.norm(v, axis=1)
-    sims = (v @ v.T) / np.outer(norms, norms)
+    sims = _quantized_sims(vecs)
     for i in range(N):
         dup = any(cell[j] == cell[i] and sims[i, j] >= thr
                   for j in range(i))
         assert keep[i] == (not dup), i
     # the threshold must actually bite on this corpus
     assert 0 < sum(not k for k in keep.values()) < N
+
+
+def test_ivf_lsh_rerank_cosine_is_quantized_numpy(emb):
+    """r6 re-rank parity: every cosine the ivf/lsh approximate paths
+    emit must EQUAL the quantized numpy pair cosine bit-for-bit (the
+    re-ranks now score through ann._pair_cos instead of the
+    interpreted raw-double SQL fold), and ranks must be consistent
+    with (cosine DESC, neighbor_id ASC) within each query."""
+    df, vecs = emb
+    queries = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"))
+    sims = _quantized_sims(vecs)
+    for got in (ann.ivf_topk(df, queries, k=3, n_cells=8, n_probe=4),
+                ann.lsh_topk(df, queries, dim=DIM, k=3,
+                             n_bands=8, bits_per_band=4)):
+        rows = sorted(got.collect(),
+                      key=lambda r: (r.query_id, r.rank))
+        assert rows, "approximate path returned nothing"
+        by_q = {}
+        for r in rows:
+            assert r.cosine == sims[r.query_id, r.neighbor_id], r
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            keys = [(-r.cosine, r.neighbor_id) for r in rs]
+            assert keys == sorted(keys), (q, rs)
 
 
 def test_semantic_dedup_drops_planted_duplicates(emb):
