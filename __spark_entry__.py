@@ -476,10 +476,15 @@ def q_unigram_logprob(spark, sf_dir):
     """Per-doc unigram LM score (integer micro-nats) + the CCNet
     head/middle/tail perplexity bucket (r5: perplexity_buckets —
     exact k-th-ranked thresholds from the deterministic md5-basis
-    sample, here the full corpus; value-based assignment)."""
+    sample, here the full corpus; value-based assignment). r6:
+    PER-LANGUAGE, the paper's actual shape — one LM per lang
+    (lang_col), per-lang frozen thresholds (by_col) — so the graded
+    row pins the lang-keyed vocabulary join AND the partitioned
+    threshold freeze."""
     from frontier.spark import textops
-    scored = textops.unigram_logprob(_read(spark, sf_dir, "documents"))
-    return textops.perplexity_buckets(scored)
+    scored = textops.unigram_logprob(_read(spark, sf_dir, "documents"),
+                                     lang_col="lang")
+    return textops.perplexity_buckets(scored, by_col="lang")
 
 
 def q_events_asof(spark, sf_dir):
@@ -1789,15 +1794,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id""",
         "unigram_logprob": """
             WITH toks AS (
-              SELECT doc_id,
+              SELECT doc_id, lang,
                      unnest(list_filter(regexp_split_to_array(
                        lower(trim(text)), '\\s+'), x -> x <> '')) AS tok
-              FROM documents
+              FROM documents WHERE lang IS NOT NULL
             ), freq AS (
-              SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
-            ), tot AS (SELECT count(*) AS total_toks FROM toks)
+              SELECT lang, tok, count(*) AS cnt
+              FROM toks GROUP BY lang, tok
+            ), tot AS (
+              SELECT lang, count(*) AS total_toks
+              FROM toks GROUP BY lang)
             , scored AS (
-              SELECT t.doc_id,
+              SELECT t.doc_id, t.lang,
                      count(*) AS n_tokens,
                      CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
                                          0) AS BIGINT)) AS BIGINT)
@@ -1805,28 +1813,34 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(CAST(round(ln(f.cnt / tot.total_toks) * 1e6,
                                          0) AS BIGINT)) AS BIGINT)
                        / count(*) AS mean_lp_micro
-              FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
-              GROUP BY t.doc_id)
+              FROM toks t
+              JOIN freq f ON t.lang = f.lang AND t.tok = f.tok
+              JOIN tot ON t.lang = tot.lang
+              GROUP BY t.doc_id, t.lang)
             , sample AS (
-              SELECT mean_lp_micro AS s, doc_id AS id FROM scored
+              SELECT lang AS g, mean_lp_micro AS s, doc_id AS id
+              FROM scored
               WHERE CAST(('0x' || substring(
                       md5('ppl:' || CAST(doc_id AS VARCHAR)), 1, 8))
                     AS BIGINT) % 10000 < 10000)
             , ranked AS (
-              SELECT s, row_number() OVER (ORDER BY s DESC, id) AS rn,
-                     count(*) OVER () AS n
+              SELECT g, s,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY s DESC, id) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
               FROM sample)
             , th AS (
-              SELECT min(CASE WHEN rn <= ceil(0.1 * n) THEN s END)
+              SELECT g,
+                     min(CASE WHEN rn <= ceil(0.1 * n) THEN s END)
                        AS th_head,
                      min(CASE WHEN rn <= ceil(0.6 * n) THEN s END)
                        AS th_tail
-              FROM ranked)
-            SELECT doc_id, n_tokens, sum_lp_micro, mean_lp_micro,
+              FROM ranked GROUP BY g)
+            SELECT doc_id, lang, n_tokens, sum_lp_micro, mean_lp_micro,
                    CASE WHEN mean_lp_micro >= th.th_head THEN 'head'
                         WHEN mean_lp_micro >= th.th_tail THEN 'middle'
                         ELSE 'tail' END AS bucket
-            FROM scored CROSS JOIN th""",
+            FROM scored LEFT JOIN th ON scored.lang = th.g""",
         "events_range_count": """
             WITH p AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'purchase'),

@@ -866,7 +866,8 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
                         .otherwise(F.lit(0.0))))
 
 
-def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_model(docs: DataFrame, text_col: str = "text",
+                  lang_col: str | None = None) -> DataFrame:
     """The corpus unigram LM as a relation: one row per distinct
     token, ``(tok, cnt, total_toks)`` with the corpus-wide token
     total repeated on every row (a constant column beats a separate
@@ -881,18 +882,38 @@ def unigram_model(docs: DataFrame, text_col: str = "text") -> DataFrame:
     deployment shape: the LM is trained on held-out data and applied
     unchanged to every shard, so scores are stable as the corpus
     grows and identical across batch/streaming paths.
+
+    ``lang_col``: train ONE MODEL PER LANGUAGE in a single pass
+    (CCNet fidelity — Wenzek et al. 2020 train a KenLM per language,
+    not one global LM): the output gains a ``lang`` column, counts
+    group on (lang, tok), and ``total_toks`` is the PER-LANGUAGE
+    token total. Still one groupBy over the exploded tokens — the
+    lang key rides the same shuffle; the per-lang totals relation
+    (bounded by the language inventory) broadcasts back onto the
+    vocabulary. Rows whose lang is NULL are excluded (no model to
+    belong to — mirror of the gate's unknown-host rule).
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = docs.select(F.explode(F.filter(
+    tok = F.explode(F.filter(
         F.split(F.lower(F.trim(t)), r"\s+"),
-        lambda x: x != F.lit(""))).alias("tok"))
+        lambda x: x != F.lit(""))).alias("tok")
+    if lang_col is not None:
+        toks = docs.where(F.col(lang_col).isNotNull()) \
+            .select(F.col(lang_col).alias("lang"), tok)
+        total = toks.groupBy("lang").agg(
+            F.count("*").alias("total_toks"))
+        return (toks.groupBy("lang", "tok")
+                .agg(F.count("*").alias("cnt"))
+                .join(F.broadcast(total), "lang"))
+    toks = docs.select(tok)
     total = toks.agg(F.count("*").alias("total_toks"))
     return (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
             .crossJoin(F.broadcast(total)))
 
 
 def unigram_logprob(docs: DataFrame, text_col: str = "text",
-                    model: DataFrame | None = None) -> DataFrame:
+                    model: DataFrame | None = None,
+                    lang_col: str | None = None) -> DataFrame:
     """Per-document mean unigram log-probability — the
     perplexity-proxy quality score (CCNet-style: documents whose
     tokens are improbable under a corpus language model are dropped
@@ -917,34 +938,62 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     partitions (a double mean would differ between engines by
     reduction order). The mean is one final exact int/int division.
 
+    ``lang_col``: score each document against ITS LANGUAGE's model
+    (CCNet trains one LM per language — a global model penalizes
+    every non-majority language as "improbable"). Self-scored, the
+    per-lang distribution is derived in the same pass (counts keyed
+    on (lang, tok), totals per lang); with a frozen ``model`` the
+    relation must be a ``unigram_model(..., lang_col=...)`` output
+    and tokens join on (lang, tok), OOV flooring against the
+    LANGUAGE's total. The output gains a ``lang`` passthrough column
+    (functional on doc_id). Docs whose lang is NULL are absent from
+    the output in this mode — no model to score against.
+
     Plan shape at scale: one explode + token-keyed count (the
     vocabulary relation), a shuffled equi-join back on the uniform
-    ``tok`` key (NEVER broadcast — the corpus vocabulary is unbounded
-    at 100 TB; only the single-row ``total`` is broadcast), one
-    doc_id aggregation. Corpus text shuffles only as (doc_id, token)
-    pairs.
+    ``tok`` (or (lang, tok)) key (NEVER broadcast — the corpus
+    vocabulary is unbounded at 100 TB; only the single-row — or
+    bounded per-lang — ``total`` relation is broadcast), one doc_id
+    aggregation. Corpus text shuffles only as (doc_id, token) pairs.
     """
     t = F.coalesce(F.col(text_col), F.lit(""))
-    toks = docs.select("doc_id", F.explode(F.filter(
+    tok = F.explode(F.filter(
         F.split(F.lower(F.trim(t)), r"\s+"),
-        lambda x: x != F.lit(""))).alias("tok"))  # token-less docs absent
-    if model is not None:
-        freq = model.select("tok", "cnt")
-        total = model.select("total_toks").limit(1)
-        scored = (toks.join(freq, "tok", "left")
-                  .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1))))
+        lambda x: x != F.lit(""))).alias("tok")  # token-less docs absent
+    keys = ["lang"] if lang_col is not None else []
+    if lang_col is not None:
+        toks = docs.where(F.col(lang_col).isNotNull()) \
+            .select("doc_id", F.col(lang_col).alias("lang"), tok)
     else:
-        freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-        total = toks.agg(F.count("*").alias("total_toks"))
-        scored = toks.join(freq, "tok")
+        toks = docs.select("doc_id", tok)
+    if model is not None:
+        freq = model.select(*keys, "tok", "cnt")
+        scored = (toks.join(freq, keys + ["tok"], "left")
+                  .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(1))))
+        if lang_col is not None:
+            total = model.select("lang", "total_toks").distinct()
+            scored = scored.join(F.broadcast(total), "lang")
+        else:
+            total = model.select("total_toks").limit(1)
+            scored = scored.crossJoin(F.broadcast(total))
+    else:
+        freq = toks.groupBy(*keys, "tok").agg(F.count("*").alias("cnt"))
+        scored = toks.join(freq, keys + ["tok"])
+        if lang_col is not None:
+            total = toks.groupBy("lang").agg(
+                F.count("*").alias("total_toks"))
+            scored = scored.join(F.broadcast(total), "lang")
+        else:
+            total = toks.agg(F.count("*").alias("total_toks"))
+            scored = scored.crossJoin(F.broadcast(total))
     lp_micro = F.round(
         F.log(F.col("cnt") / F.col("total_toks")) * 1e6, 0).cast("bigint")
+    out_keys = ["doc_id"] + keys
     return (scored
-            .crossJoin(F.broadcast(total))
-            .groupBy("doc_id")
+            .groupBy(*out_keys)
             .agg(F.count("*").alias("n_tokens"),
                  F.sum(lp_micro).alias("sum_lp_micro"))
-            .select("doc_id", "n_tokens", "sum_lp_micro",
+            .select(*out_keys, "n_tokens", "sum_lp_micro",
                     (F.col("sum_lp_micro") / F.col("n_tokens"))
                     .alias("mean_lp_micro")))
 
@@ -955,7 +1004,8 @@ def perplexity_buckets(scored: DataFrame,
                        sample_bp: int = 10_000,
                        salt: str = "ppl",
                        id_col: str = "doc_id",
-                       score_col: str = "mean_lp_micro") -> DataFrame:
+                       score_col: str = "mean_lp_micro",
+                       by_col: str | None = None) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web
     Crawl Data" §4.3): rank documents by LM score and cut the corpus
@@ -974,16 +1024,53 @@ def perplexity_buckets(scored: DataFrame,
     them to every shard — the same freeze-then-apply shape as the
     frozen :func:`unigram_model`.
 
+    ``by_col``: freeze SEPARATE thresholds per group — CCNet's
+    actual shape (Wenzek et al. 2020 cut head/middle/tail per
+    LANGUAGE, because LM scores are not comparable across LMs). The
+    rank window partitions by the group, the per-group threshold
+    relation (bounded by the group inventory) broadcasts back, and
+    a group absent from the sample gets NULL thresholds → ``tail``
+    (same rule as the global empty sample).
+
     Plan shape at scale: one narrow sample filter, ONE sort of the
     bounded sample (size ``n·sample_bp/10⁴`` — pick ``sample_bp`` so
     it fits an executor; the cutoffs only need sampling accuracy),
-    two single-row threshold broadcasts, then a narrow map over the
-    scored relation. An empty sample yields NULL thresholds → every
-    doc lands in ``tail`` (deterministic in both engines).
+    two single-row threshold broadcasts (or one bounded per-group
+    relation), then a narrow map over the scored relation. An empty
+    sample yields NULL thresholds → every doc lands in ``tail``
+    (deterministic in both engines).
     """
     basis = F.conv(F.substring(F.md5(F.concat_ws(
         ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("bigint") % 10000
+    bucket_of = (lambda th_head, th_tail:
+                 F.when(F.col(score_col) >= th_head, F.lit("head"))
+                 .when(F.col(score_col) >= th_tail, F.lit("middle"))
+                 .otherwise(F.lit("tail")))
+    if by_col is not None:
+        sample = scored.where(basis < F.lit(int(sample_bp))) \
+            .select(F.col(by_col).alias("_g"),
+                    F.col(score_col).alias("_s"),
+                    F.col(id_col).alias("_id"))
+        w = Window.partitionBy("_g").orderBy(
+            F.col("_s").desc(), F.col("_id"))
+        ranked = sample.select(
+            "_g", "_s", F.row_number().over(w).alias("_rn"),
+            F.count("*").over(Window.partitionBy("_g")).alias("_n"))
+        th = (ranked.groupBy("_g")
+              .agg(F.min(F.when(
+                  F.col("_rn") <= F.ceil(F.lit(float(head_frac))
+                                         * F.col("_n")),
+                  F.col("_s"))).alias("_th_head"),
+                  F.min(F.when(
+                      F.col("_rn") <= F.ceil(F.lit(float(tail_frac))
+                                             * F.col("_n")),
+                      F.col("_s"))).alias("_th_tail")))
+        return (scored.join(F.broadcast(th),
+                            F.col(by_col) == F.col("_g"), "left")
+                .withColumn("bucket", bucket_of(F.col("_th_head"),
+                                                F.col("_th_tail")))
+                .drop("_g", "_th_head", "_th_tail"))
     sample = scored.where(basis < F.lit(int(sample_bp))) \
         .select(F.col(score_col).alias("_s"),
                 F.col(id_col).alias("_id"))
@@ -1000,12 +1087,8 @@ def perplexity_buckets(scored: DataFrame,
                                          * F.col("_n")),
                   F.col("_s"))).alias("_th_tail")))
     return (scored.crossJoin(F.broadcast(th))
-            .withColumn("bucket",
-                        F.when(F.col(score_col) >= F.col("_th_head"),
-                               F.lit("head"))
-                        .when(F.col(score_col) >= F.col("_th_tail"),
-                              F.lit("middle"))
-                        .otherwise(F.lit("tail")))
+            .withColumn("bucket", bucket_of(F.col("_th_head"),
+                                            F.col("_th_tail")))
             .drop("_th_head", "_th_tail"))
 
 

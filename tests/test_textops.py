@@ -427,6 +427,98 @@ def test_unigram_model_frozen_scoring(spark):
     model.unpersist()
 
 
+_LANG_CORPUS = [
+    # en: tokens the=3 cat=2 sat=1  (total 6)
+    (0, "the cat sat", "en"), (1, "the the cat", "en"),
+    # fr: le=2 chat=1             (total 3)
+    (2, "le chat le", "fr"),
+    # lang unknown: excluded from per-lang scoring entirely
+    (3, "the cat", None),
+]
+
+
+def _lang_lp(cnt, total):
+    import math
+    return round(math.log(cnt / total) * 1e6)
+
+
+def test_unigram_logprob_per_lang_exact_math(spark):
+    """r6 CCNet fidelity: lang_col trains one LM per language in the
+    same pass — every per-doc sum must equal the hand-computed
+    per-LANGUAGE micro-nat integers (NOT the corpus-global ones),
+    NULL-lang docs are absent, and lang rides the output."""
+    docs = spark.createDataFrame(
+        _LANG_CORPUS, "doc_id long, text string, lang string")
+    rows = {r.doc_id: r for r in
+            textops.unigram_logprob(docs, lang_col="lang").collect()}
+    assert set(rows) == {0, 1, 2}  # NULL-lang doc 3 excluded
+    assert rows[0].lang == "en" and rows[2].lang == "fr"
+    assert rows[0].sum_lp_micro == \
+        _lang_lp(3, 6) + _lang_lp(2, 6) + _lang_lp(1, 6)
+    assert rows[1].sum_lp_micro == 2 * _lang_lp(3, 6) + _lang_lp(2, 6)
+    assert rows[2].sum_lp_micro == 2 * _lang_lp(2, 3) + _lang_lp(1, 3)
+    # the per-lang scores differ from what a global LM would give
+    # (total would be 9 and 'the' would count the null-lang doc's)
+    assert rows[2].sum_lp_micro != \
+        2 * _lang_lp(2, 11) + _lang_lp(1, 11)
+
+
+def test_unigram_model_per_lang_frozen_scoring(spark):
+    """Per-lang freeze-then-apply: scoring against the corpus's own
+    per-lang model is bit-identical to the self-scored per-lang
+    plan, and an OOV token floors against ITS language's total."""
+    docs = spark.createDataFrame(
+        _LANG_CORPUS, "doc_id long, text string, lang string")
+    model = textops.unigram_model(docs, lang_col="lang").persist()
+    self_rows = {r.doc_id: r.asDict() for r in
+                 textops.unigram_logprob(docs, lang_col="lang")
+                 .collect()}
+    frozen_rows = {r.doc_id: r.asDict() for r in
+                   textops.unigram_logprob(docs, model=model,
+                                           lang_col="lang").collect()}
+    assert self_rows == frozen_rows
+    # model relation: per-lang totals, one row per (lang, tok)
+    mrows = model.collect()
+    assert {(r.lang, r.tok): (r.cnt, r.total_toks) for r in mrows} == {
+        ("en", "the"): (3, 6), ("en", "cat"): (2, 6),
+        ("en", "sat"): (1, 6), ("fr", "le"): (2, 3),
+        ("fr", "chat"): (1, 3)}
+    novel = spark.createDataFrame(
+        [(9, "le zzz", "fr")], "doc_id long, text string, lang string")
+    row = textops.unigram_logprob(novel, model=model,
+                                  lang_col="lang").collect()[0]
+    assert row.sum_lp_micro == _lang_lp(2, 3) + _lang_lp(1, 3)
+    model.unpersist()
+
+
+def test_perplexity_buckets_per_group(spark):
+    """by_col freezes SEPARATE head/middle/tail thresholds per
+    group: each group gets its OWN cutoffs (a global cutoff would
+    drown the lower-scoring group in tail), and a group absent from
+    the sample (deterministic md5 basis) buckets everything as
+    tail."""
+    rows = ([(i, float(-i), "a") for i in range(10)]
+            + [(100 + i, float(-1000 - i), "b") for i in range(10)])
+    scored = spark.createDataFrame(
+        rows, "doc_id long, mean_lp_micro double, lang string")
+    got = {r.doc_id: r.bucket for r in
+           textops.perplexity_buckets(scored, by_col="lang")
+           .collect()}
+    # per-group cutoffs: each group has its OWN head (best score)
+    assert got[0] == "head" and got[100] == "head"
+    assert got[9] == "tail" and got[109] == "tail"
+    # a single GLOBAL cutoff would give group b no head at all
+    # (the global head threshold sits inside group a's score range)
+    global_got = {r.doc_id: r.bucket for r in
+                  textops.perplexity_buckets(scored).collect()}
+    assert all(global_got[100 + i] != "head" for i in range(10))
+    # empty sample per group -> NULL thresholds -> tail
+    out_e = {r.doc_id: r.bucket for r in
+             textops.perplexity_buckets(scored, by_col="lang",
+                                        sample_bp=0).collect()}
+    assert set(out_e.values()) == {"tail"}
+
+
 def _plan(df):
     return df._jdf.queryExecution().executedPlan().toString()
 
