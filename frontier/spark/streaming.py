@@ -630,7 +630,8 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                      out_path: str, checkpoint: str, *,
                      model: DataFrame, eval_docs: DataFrame,
                      min_lp: int = -3_405_000,
-                     max_files_per_trigger: int | None = None) -> dict:
+                     max_files_per_trigger: int | None = None,
+                     paras_path: str | None = None) -> dict:
     """Continuous-ingestion curation: the streaming face of
     jobs/curate.py for a corpus that arrives incrementally (new
     document files landing forever), run here as one availableNow
@@ -656,7 +657,20 @@ def streaming_curate(spark: SparkSession, docs_path: str,
       corpus-wide counts no single micro-batch carries — that stays
       a periodic BATCH job over the accumulated curated table
       (jobs/curate.py), the standard lambda split for these
-      pipelines.
+      pipelines. r6 narrows the split for the PARAGRAPH tier:
+      ``paras_path`` maintains the normalized paragraph-hash index
+      (textops.paragraph_index) as an incremental parquet state
+      table — each micro-batch appends its slice under
+      ``paras_path/round=N`` (overwrite per round → replay-
+      idempotent), so text is paragraph-parsed exactly once, on
+      arrival, and the corpus-global gate becomes the CHEAP
+      hash-only aggregation :func:`paragraph_casualties` over
+      accumulated slim (doc_id, para_md5) rows. The gate decision
+      itself stays deferred (a paragraph's corpus count only grows,
+      so a doc's verdict can flip from keep to drop as the corpus
+      accumulates — no append-only sink can retract); callers
+      anti-join the casualty list at read time, the same
+      casualty-relation shape as jobs/curate.py's q_neardup.
 
     Per-gate absent-doc defaults match jobs/curate.py build_flags:
     token-less docs are absent from unigram_logprob's output and are
@@ -685,6 +699,12 @@ def streaming_curate(spark: SparkSession, docs_path: str,
     def gate(batch: DataFrame, batch_id: int) -> None:
         b = batch.persist()
         try:
+            if paras_path is not None:
+                (textops.paragraph_index(b)
+                 .select("doc_id", "para_md5")
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(paras_path,
+                                       f"round={batch_id}")))
             flags = (
                 b.join(textops.gopher_quality(b)
                        .select("doc_id", "passes_gopher"), "doc_id")
@@ -718,3 +738,32 @@ def streaming_curate(spark: SparkSession, docs_path: str,
     return {"rounds": len(selected_per_round),
             "selected_per_round": dict(sorted(
                 selected_per_round.items()))}
+
+
+def paragraph_casualties(spark: SparkSession, paras_path: str,
+                         min_count: int = 2,
+                         max_dup_para: float = 0.5) -> DataFrame:
+    """The paragraph-dedup gate over the INCREMENTAL index
+    :func:`streaming_curate` maintains under ``paras_path``: one
+    ``doc_id`` row per document whose duplicated-paragraph fraction
+    — paragraphs whose corpus-so-far count ≥ ``min_count`` —
+    EXCEEDS ``max_dup_para`` (Lee et al. 2022, the same rule as
+    jobs/curate.py's q_para, stated as a casualty list so
+    paragraph-less docs are never penalized).
+
+    Equals textops.paragraph_dedup over the full accumulated corpus
+    — the counts are the same groupBy, just over pre-parsed slim
+    (doc_id, para_md5) rows instead of a text re-parse. One uniform
+    para_md5 shuffle + one doc_id aggregation; no text moves.
+    """
+    paras = (spark.read
+             .schema("doc_id bigint, para_md5 string")
+             .parquet(paras_path))
+    counts = paras.groupBy("para_md5") \
+        .agg(F.count("*").alias("_n"))
+    return (paras.join(counts, "para_md5")
+            .groupBy("doc_id")
+            .agg((F.sum((F.col("_n") >= min_count).cast("long"))
+                  / F.count("*")).alias("_dup_frac"))
+            .where(F.col("_dup_frac") > max_dup_para)
+            .select("doc_id"))

@@ -1112,20 +1112,35 @@ def paragraph_dedup(docs: DataFrame, min_count: int = 2,
     broadcast of the unbounded paragraph-hash relation (same
     discipline as the vocabulary joins above).
     """
-    t = F.coalesce(F.col(text_col), F.lit(""))
-    paras = (docs
-             .select("doc_id",
-                     F.posexplode(F.split(t, r"\n\s*\n"))
-                     .alias("para_index", "para"))
-             .withColumn("para", F.lower(F.trim(F.col("para"))))
-             .where(F.col("para") != "")
-             .withColumn("para_md5", F.md5(F.col("para")))
-             .drop("para"))
+    paras = paragraph_index(docs, text_col)
     counts = paras.groupBy("para_md5") \
         .agg(F.count("*").alias("n_occurrences"))
     return (paras.join(counts, "para_md5")
             .select("doc_id", "para_index", "para_md5", "n_occurrences",
                     (F.col("n_occurrences") >= min_count).alias("is_dup")))
+
+
+def paragraph_index(docs: DataFrame, text_col: str = "text"
+                    ) -> DataFrame:
+    """The normalized paragraph index :func:`paragraph_dedup` counts
+    over — ``(doc_id, para_index, para_md5)``, one row per non-empty
+    blank-line-separated paragraph (lower + trim, md5-keyed).
+
+    Factored out (r6) so the index can be MAINTAINED incrementally:
+    streaming_curate appends each micro-batch's slice to a parquet
+    state table, making the corpus-global paragraph gate a cheap
+    hash-only aggregation over accumulated slim rows instead of a
+    periodic full re-parse of all text (the r5 lambda-split's
+    documented gap)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (docs
+            .select("doc_id",
+                    F.posexplode(F.split(t, r"\n\s*\n"))
+                    .alias("para_index", "para"))
+            .withColumn("para", F.lower(F.trim(F.col("para"))))
+            .where(F.col("para") != "")
+            .withColumn("para_md5", F.md5(F.col("para")))
+            .drop("para"))
 
 
 def html_clean(docs: DataFrame, html_col: str = "html",

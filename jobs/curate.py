@@ -216,6 +216,14 @@ def main():
                          "--streaming-in); the frozen LM/eval sides "
                          "are persisted beside it on the first "
                          "invocation")
+    ap.add_argument("--paras", metavar="DIR",
+                    help="with --streaming-in: maintain the "
+                         "incremental paragraph-hash index under DIR "
+                         "(streaming.streaming_curate paras_path) and "
+                         "report the current paragraph-gate casualty "
+                         "count; select final docs by anti-joining "
+                         "streaming.paragraph_casualties(DIR) at "
+                         "read time")
     ap.add_argument("--semantic-dedup", action="store_true",
                     help="add the SemDeDup gate: cluster the sf-dir's "
                          "embeddings.parquet with the Lloyd-IVF "
@@ -269,8 +277,8 @@ def main():
             spark, args.streaming_in, args.out, args.checkpoint,
             model=spark.read.parquet(model_path),
             eval_docs=spark.read.parquet(eval_path),
-            min_lp=args.min_lp)
-        print(json.dumps({
+            min_lp=args.min_lp, paras_path=args.paras)
+        record = {
             "streaming": True,
             "rounds": res["rounds"],
             "selected_per_round": res["selected_per_round"],
@@ -278,8 +286,14 @@ def main():
             "eval_source": "external" if args.eval_dir
             else "self_modulo_fallback",
             "lm_source": "external" if args.lm_model else "sf_dir",
-            "wall_sec": round(time.perf_counter() - t0, 2),
-        }))
+        }
+        if args.paras:
+            record["n_para_casualties"] = streaming \
+                .paragraph_casualties(
+                    spark, args.paras,
+                    max_dup_para=args.max_dup_para).count()
+        record["wall_sec"] = round(time.perf_counter() - t0, 2)
+        print(json.dumps(record))
         spark.stop()
         return
 

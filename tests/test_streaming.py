@@ -444,3 +444,107 @@ def test_streaming_curate_equals_batch(spark, sf_dir, tmp_path_factory):
     assert r2_ids <= late_ids
     model.unpersist()
     eval_docs.unpersist()
+
+
+def test_streaming_curate_paragraph_gate_equals_batch(
+        spark, sf_dir, tmp_path_factory):
+    """r6: with paras_path the curate loop maintains the paragraph-
+    hash index incrementally across TWO invocations of a split
+    corpus; the final selection — streamed survivors anti-joined
+    against paragraph_casualties over the accumulated index — must
+    equal the batch pipeline (same gates + the q_para rule over the
+    full corpus). Casualties must include docs whose verdict only
+    became 'drop' after LATER arrivals duplicated their paragraphs —
+    the case a per-batch gate cannot decide."""
+    from frontier.spark import textops
+
+    docs_dir = str(tmp_path_factory.mktemp("pcurate_docs"))
+    out = str(tmp_path_factory.mktemp("pcurate_out"))
+    ckpt = str(tmp_path_factory.mktemp("pcurate_ckpt"))
+    paras = str(tmp_path_factory.mktemp("pcurate_paras"))
+    max_dup = 0.5
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    # boilerplate injection: 20 docs gain a shared footer (2 of
+    # their 3 paragraphs duplicated), chosen to STRADDLE the
+    # invocation split — exactly ONE arrives in invocation 1 (its
+    # footer paragraphs are still unique then → kept), the rest in
+    # invocation 2 (whose arrival flips the early doc's verdict —
+    # the decision a per-batch gate cannot make). Footered ids avoid
+    # the %97 eval slice so the footer trips ONLY the paragraph
+    # gate, not decontamination.
+    base_ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+    half = len(base_ids) // 2
+    footer_ids = [i for i in base_ids[half - 1:]
+                  if i % 97 != 0][:20]
+    assert len(footer_ids) == 20 and footer_ids[0] == base_ids[half - 1]
+    footer = ("\n\nall rights reserved footer"
+              "\n\nterms of service apply")
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_id").isin(footer_ids),
+                       F.concat_ws("", F.col("text"), F.lit(footer)))
+        .otherwise(F.col("text")))
+    pdf = docs.orderBy("doc_id").toPandas()
+    assert int((pdf.iloc[:half]["doc_id"]).isin(footer_ids).sum()) == 1
+
+    model = textops.unigram_model(docs).persist()
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0).persist()
+    min_lp = -10_000_000  # permissive: the para gate is under test
+
+    # batch reference over the full corpus: the streaming gates plus
+    # the paragraph rule (dup fraction > max_dup drops, computed by
+    # textops.paragraph_dedup — the casualty-list semantic)
+    flags = (docs
+             .join(textops.gopher_quality(docs)
+                   .select("doc_id", "passes_gopher"), "doc_id")
+             .join(textops.decontam_overlap(docs, eval_docs)
+                   .select("doc_id",
+                           (F.col("n_overlap") == 0).alias("q_d")),
+                   "doc_id")
+             .join(textops.unigram_logprob(docs, model=model)
+                   .select("doc_id", "mean_lp_micro"), "doc_id", "left")
+             .join(textops.paragraph_dedup(docs)
+                   .groupBy("doc_id")
+                   .agg((F.sum(F.col("is_dup").cast("long"))
+                         / F.count("*") > max_dup).alias("_pd")),
+                   "doc_id", "left"))
+    expect = {r.doc_id for r in flags.where(
+        F.col("passes_gopher") & F.col("q_d")
+        & (F.coalesce(F.col("mean_lp_micro"),
+                      F.lit(float(min_lp - 1))) >= min_lp)
+        & ~F.coalesce(F.col("_pd"), F.lit(False))).collect()}
+    # the footer must actually bite: some doc passing every other
+    # gate is dropped by the paragraph rule
+    dropped_by_para = {r.doc_id for r in flags.where(
+        F.col("passes_gopher") & F.col("q_d")
+        & (F.coalesce(F.col("mean_lp_micro"),
+                      F.lit(float(min_lp - 1))) >= min_lp)
+        & F.coalesce(F.col("_pd"), F.lit(False))).collect()}
+    assert dropped_by_para, "test corpus must exercise the gate"
+
+    _write_doc_file(pdf.iloc[:half], f"{docs_dir}/file_000.parquet")
+    streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=min_lp, paras_path=paras)
+    early_casualties = {r.doc_id for r in streaming
+                        .paragraph_casualties(spark, paras,
+                                              max_dup_para=max_dup)
+                        .collect()}
+    _write_doc_file(pdf.iloc[half:], f"{docs_dir}/file_001.parquet")
+    streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=min_lp, paras_path=paras)
+
+    casualties = streaming.paragraph_casualties(
+        spark, paras, max_dup_para=max_dup)
+    final = {r.doc_id for r in
+             spark.read.parquet(out)
+             .join(casualties, "doc_id", "left_anti").collect()}
+    assert final == expect and len(final) > 0
+    # the late arrivals flipped the early footered doc's verdict
+    flipped = {r.doc_id for r in casualties.collect()} \
+        - early_casualties
+    assert footer_ids[0] in flipped
+    model.unpersist()
+    eval_docs.unpersist()
