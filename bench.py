@@ -218,6 +218,15 @@ def main():
         from frontier.spark import eventops
         eventops.release_checkpoints()
 
+        # per-run ANN recall@k of each approximate arm vs the exact
+        # verifier (r5 VERDICT item 7) — read from the same tagged
+        # union the timed query produced; bounded driver-side eval
+        from frontier.spark import ann
+        ann_recall = ann.recall_at_k(
+            qs["ann_approx_topk"](spark, sf_dir))
+    else:
+        ann_recall = {}
+
     total = round(sum(timings.values()), 3)
     throughput = round(n_docs / timings["frontier_schedule_parse"], 1)
     # TWO json lines (r4 VERDICT item 6): the driver captures only the
@@ -233,6 +242,10 @@ def main():
         "detail": True,
         "spread": spreads,
         "cpu_probe_sec": [probe_start, cpu_probe()],
+        # recall@3 of each approximate ANN arm vs the exact arm of
+        # the same run (ann.recall_at_k over ann_approx_topk's
+        # tagged union)
+        "ann_recall_at_3": ann_recall,
         # round-1 numbers for these map-only queries timed a count()
         # that let Catalyst prune the output columns — they measured
         # the scan, not the operator, and are NOT comparable to the
@@ -269,6 +282,17 @@ def main():
         "n_pages": n_docs,
         "n_scheduled": n_scheduled,
         "urls_per_sec": throughput,
+        # known engine-attributable cost changes, so cross-round
+        # deltas self-explain (r5 VERDICT item 4); details in the
+        # detail line + BENCH/BASELINE.md
+        "notes": "r6: ann re-rank + semdedup prune moved to the "
+                 "quantized numpy scorer (ann_approx_topk/"
+                 "semantic_dedup expected faster); "
+                 "frontier_schedule_parse retains the r5 pruned "
+                 "robots gate (~+0.5s measured insurance vs the "
+                 "scale-unsafe unpruned broadcast). Compare "
+                 "cpu_probe_sec to BENCH/BASELINE.md (~0.23s quiet) "
+                 "before reading deltas as regressions.",
     })
     assert len(summary) < 1900, f"summary line {len(summary)}B > driver window"
     print(summary)

@@ -548,6 +548,30 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+def recall_at_k(tagged_topk: DataFrame, baseline: str = "exact"
+                ) -> dict[str, float]:
+    """Recall@k of every approximate method against the exact arm,
+    evaluated from a tagged union relation ``(method, query_id,
+    neighbor_id, ...)`` — the shape the consolidated ann_approx_topk
+    query emits (exact ∪ ivf ∪ lsh). Per-run recall a user (and the
+    bench record) can read, not just a pass/fail test (r5 VERDICT
+    item 7).
+
+    Driver-side by design: the relation is methods × queries × k
+    rows, bounded by construction (query sets are small by the
+    cosine_topk contract)."""
+    rows = tagged_topk.select("method", "query_id",
+                              "neighbor_id").collect()
+    by: dict[str, set] = {}
+    for r in rows:
+        by.setdefault(r.method, set()).add((r.query_id, r.neighbor_id))
+    base = by.get(baseline, set())
+    if not base:
+        return {}
+    return {m: round(len(s & base) / len(base), 4)
+            for m, s in sorted(by.items()) if m != baseline}
+
+
 def semantic_dedup(embeddings: DataFrame, n_cells: int = 16,
                    n_iter: int = 2, threshold: float = 0.4
                    ) -> DataFrame:
