@@ -126,14 +126,70 @@ def parse_warc_date(value: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
+def record_id(*parts: str) -> str:
+    """Deterministic WARC-Record-ID (``<urn:uuid:...>``): an RFC
+    4122 v4-shaped uuid derived from md5 of the parts, so sinks are
+    byte-reproducible (the same determinism rule as gzip mtime=0)
+    and request/metadata records can point at their response via
+    WARC-Concurrent-To without any driver coordination."""
+    import hashlib
+
+    h = bytearray(hashlib.md5(":".join(parts).encode()).digest())
+    h[6] = (h[6] & 0x0F) | 0x40  # version 4
+    h[8] = (h[8] & 0x3F) | 0x80  # RFC 4122 variant
+    x = h.hex()
+    return (f"<urn:uuid:{x[:8]}-{x[8:12]}-{x[12:16]}-"
+            f"{x[16:20]}-{x[20:]}>")
+
+
 def page_record(url: str, ts_us: int, html: bytes) -> bytes:
-    """pages-relation row → WARC response record."""
+    """pages-relation row → WARC response record (WARC-Record-ID
+    deterministic so sibling request/metadata records can reference
+    it)."""
     return encode_record([
         ("WARC-Type", "response"),
+        ("WARC-Record-ID", record_id("response", url, str(ts_us))),
         ("WARC-Target-URI", url),
         ("WARC-Date", format_warc_date(ts_us)),
         ("Content-Type", "multipart/related"),
     ], html)
+
+
+def request_record(url: str, ts_us: int) -> bytes:
+    """pages-relation row → the WARC ``request`` record Common Crawl
+    stores alongside each response (WARC/1.1 §6.4): a minimal HTTP/1.1
+    GET reconstructed from the URL, linked to the response via
+    WARC-Concurrent-To."""
+    rest = url.split("://", 1)[-1]
+    host, _, path = rest.partition("/")
+    http = (f"GET /{path} HTTP/1.1\r\n"
+            f"Host: {host}\r\n"
+            f"User-Agent: frontier\r\n\r\n").encode()
+    return encode_record([
+        ("WARC-Type", "request"),
+        ("WARC-Record-ID", record_id("request", url, str(ts_us))),
+        ("WARC-Concurrent-To", record_id("response", url, str(ts_us))),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", format_warc_date(ts_us)),
+        ("Content-Type", "application/http; msgtype=request"),
+    ], http)
+
+
+def metadata_record(url: str, ts_us: int,
+                    fields: list[tuple[str, str]]) -> bytes:
+    """pages-relation row → the WARC ``metadata`` record (WARC/1.1
+    §6.6): ``application/warc-fields`` name:value lines (Common
+    Crawl uses these for fetch diagnostics), linked to the response
+    via WARC-Concurrent-To."""
+    block = "".join(f"{k}: {v}\r\n" for k, v in fields).encode()
+    return encode_record([
+        ("WARC-Type", "metadata"),
+        ("WARC-Record-ID", record_id("metadata", url, str(ts_us))),
+        ("WARC-Concurrent-To", record_id("response", url, str(ts_us))),
+        ("WARC-Target-URI", url),
+        ("WARC-Date", format_warc_date(ts_us)),
+        ("Content-Type", "application/warc-fields"),
+    ], block)
 
 
 def conversion_record(url: str, ts_us: int, text: str) -> bytes:

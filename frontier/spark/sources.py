@@ -107,14 +107,26 @@ def write_part_files(resources: DataFrame, out_dir: str) -> None:
 
 
 def write_warc_files(pages: DataFrame, out_dir: str,
-                     compress: bool = False) -> None:
+                     compress: bool = False,
+                     with_request: bool = False,
+                     with_metadata: bool = False) -> None:
     """pages → WARC files (ISO 28500, the Common-Crawl container):
     one ``response`` record per page (MHTML bytes as the block), one
     ``.warc`` file per partition — executor-side fan-out, no driver
     collect. ``compress=True`` writes the ``.warc.gz`` member-gzip
     framing Common Crawl ships (each record its own gzip member).
     Round-trips byte-exactly through ingest_warc_files
-    (tests/test_warc.py)."""
+    (tests/test_warc.py).
+
+    ``with_request`` / ``with_metadata`` (r6, Common-Crawl record
+    fidelity): also emit the ``request`` record (reconstructed
+    HTTP/1.1 GET) before and/or the ``metadata`` record
+    (application/warc-fields fetch diagnostics) after each response,
+    in Common Crawl's request→response→metadata order, linked via
+    deterministic WARC-Record-ID / WARC-Concurrent-To.
+    :func:`ingest_warc_files` still reads pages from mixed-type
+    files unchanged (non-response records skipped);
+    :func:`ingest_warc_records` reads every record with its type."""
     import uuid
 
     from frontier.kernel import warc as kwarc
@@ -129,17 +141,87 @@ def write_warc_files(pages: DataFrame, out_dir: str,
     def dump(rows):
         fname = os.path.join(out_dir, f"part-{uuid.uuid4().hex}{ext}")
         wrote = False
+
+        def emit(fh, record):
+            fh.write(kwarc.gzip_member(record) if compress
+                     else record)
+
         with open(fname, "wb") as fh:
             for row in rows:
-                record = kwarc.page_record(
-                    row["url"], int(row["ts_us"]), bytes(row["html"]))
-                fh.write(kwarc.gzip_member(record) if compress
-                         else record)
+                url, ts = row["url"], int(row["ts_us"])
+                html = bytes(row["html"])
+                if with_request:
+                    emit(fh, kwarc.request_record(url, ts))
+                emit(fh, kwarc.page_record(url, ts, html))
+                if with_metadata:
+                    emit(fh, kwarc.metadata_record(url, ts, [
+                        ("fetchTimeMs", "0"),
+                        ("payload-length", str(len(html)))]))
                 wrote = True
         if not wrote:
             os.remove(fname)  # empty partition: no empty file
 
     slim.foreachPartition(dump)
+
+
+def ingest_warc_records(spark: SparkSession, path: str,
+                        glob: str = "*.warc*") -> DataFrame:
+    """Directory of WARC files → ONE ROW PER RECORD, typed:
+    (url, warc_ts, warc_type, record_id, concurrent_to, block).
+
+    The generic face of :func:`ingest_warc_files` for mixed-record
+    archives (warcinfo/request/response/metadata/conversion...):
+    filter on ``warc_type`` declaratively and let Catalyst do the
+    rest — e.g. ``.where(F.col("warc_type") == 'request')``. Same
+    per-file sniff/skip contract (§2.8): gzip members inflated,
+    malformed FILES skipped, truncated tails clamped."""
+    import pyarrow as pa
+
+    from frontier.kernel import warc as kwarc
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", glob)
+           .load(path)
+           .select("content"))
+
+    def split(batches):
+        for batch in batches:
+            blobs = batch.column("content").to_pylist()
+            cols: dict[str, list] = {k: [] for k in (
+                "url", "ts", "wtype", "rid", "cto", "block")}
+            for blob in blobs:
+                try:
+                    if bytes(blob[:2]) == kwarc.GZIP_MAGIC:
+                        blob = kwarc.gunzip_members(blob)
+                    records = kwarc.parse_warc_records(blob)
+                except Exception:
+                    continue  # malformed file: skip, never fail task
+                for headers, start, end in records:
+                    date = headers.get("WARC-Date")
+                    try:
+                        ts = kwarc.parse_warc_date(date) if date else 0
+                    except ValueError:
+                        ts = 0
+                    cols["url"].append(headers.get("WARC-Target-URI"))
+                    cols["ts"].append(ts)
+                    cols["wtype"].append(headers.get("WARC-Type"))
+                    cols["rid"].append(headers.get("WARC-Record-ID"))
+                    cols["cto"].append(
+                        headers.get("WARC-Concurrent-To"))
+                    cols["block"].append(blob[start:end])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols["url"], pa.string()),
+                 pa.array(cols["ts"], pa.timestamp("us")),
+                 pa.array(cols["wtype"], pa.string()),
+                 pa.array(cols["rid"], pa.string()),
+                 pa.array(cols["cto"], pa.string()),
+                 pa.array(cols["block"], pa.binary())],
+                names=["url", "warc_ts", "warc_type", "record_id",
+                       "concurrent_to", "block"])
+
+    return raw.mapInArrow(
+        split, "url string, warc_ts timestamp, warc_type string, "
+               "record_id string, concurrent_to string, block binary")
 
 
 def write_wet_files(results: DataFrame, out_dir: str,

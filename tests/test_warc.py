@@ -224,3 +224,69 @@ def test_spark_wet_null_text_skipped(spark, tmp_path):
     rows = sources.ingest_wet_files(spark, out).collect()
     assert [(r.url, r.text, int(r.warc_ts.timestamp() * 1_000_000))
             for r in rows] == [("https://a.example/", "kept", 0)]
+
+
+def test_mixed_record_types_roundtrip(spark, sf_dir, tmp_path):
+    """r6 Common-Crawl record fidelity: the sink can emit
+    request→response→metadata triples per page (plain AND gzip);
+    ingest_warc_files still recovers exactly the pages (non-response
+    records skipped, bytes identical), and ingest_warc_records
+    exposes every record typed, with deterministic
+    WARC-Concurrent-To links from request/metadata back to their
+    response's WARC-Record-ID."""
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(60).cache()
+    n_pages = pages.count()
+    for compress in (False, True):
+        out = str(tmp_path / f"mixed_{compress}")
+        sources.write_warc_files(pages, out, compress=compress,
+                                 with_request=True, with_metadata=True)
+
+        back = sources.ingest_warc_files(spark, out)
+        a = {r.url: (int(r.warc_ts.timestamp() * 1_000_000),
+                     bytes(r.html))
+             for r in pages.select("url", "warc_ts", "html").collect()}
+        b = {r.url: (int(r.warc_ts.timestamp() * 1_000_000),
+                     bytes(r.html))
+             for r in back.collect()}
+        assert a == b, "mixed types must not disturb the pages source"
+
+        recs = sources.ingest_warc_records(spark, out).collect()
+        by_type = {}
+        for r in recs:
+            by_type.setdefault(r.warc_type, []).append(r)
+        assert {t: len(v) for t, v in by_type.items()} == {
+            "request": n_pages, "response": n_pages,
+            "metadata": n_pages}
+        resp_id = {r.url: r.record_id for r in by_type["response"]}
+        assert all(r.record_id for r in recs)
+        for t in ("request", "metadata"):
+            for r in by_type[t]:
+                assert r.concurrent_to == resp_id[r.url], (t, r.url)
+        for r in by_type["response"]:
+            assert r.concurrent_to is None
+        # block contents carry the documented media types
+        req = by_type["request"][0]
+        assert bytes(req.block).startswith(b"GET /")
+        assert b"Host: " in bytes(req.block)
+        meta = bytes(by_type["metadata"][0].block).decode()
+        assert "payload-length: " in meta and meta.endswith("\r\n")
+
+
+def test_warc_type_filter_pushes_down(spark, sf_dir, tmp_path):
+    """The typed record source composes with a declarative WARC-Type
+    filter: selecting one type returns exactly that slice (the
+    filter is a Catalyst filter over the mapInArrow output — no
+    bespoke per-type readers)."""
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir).limit(40)
+    out = str(tmp_path / "typed")
+    sources.write_warc_files(pages, out, with_request=True)
+    recs = sources.ingest_warc_records(spark, out)
+    assert recs.where(F.col("warc_type") == "request").count() == 40
+    assert recs.where(F.col("warc_type") == "metadata").count() == 0
+    assert recs.count() == 80
