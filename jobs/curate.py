@@ -68,7 +68,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
                 eval_docs=None, semantic_casualties=None,
-                lm_model=None, ppl_keep=None):
+                lm_model=None, ppl_keep=None, lang_aware=False):
     """The curation gates as boolean columns over ``docs`` — the
     job's whole selection logic, importable for tests.
 
@@ -118,6 +118,13 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
 
     if eval_docs is None:
         eval_docs = docs.where(F.col("doc_id") % 97 == 0)
+    # lang_aware (r6, CCNet fidelity): score q_lm/q_ppl against the
+    # doc's LANGUAGE's LM and per-lang frozen bucket thresholds
+    # instead of the corpus-global ones; a frozen lm_model must then
+    # be a unigram_model(..., lang_col=...) relation. NULL-lang docs
+    # get no score → q_lm default False (dropped), the same
+    # absent-doc rule as the global gate's token-less docs.
+    lang = "lang" if lang_aware else None
 
     # each gate is a (doc_id, flag, default-when-absent) relation;
     # ONE plan joins them. Defaults differ: quality/dedup-rep gates
@@ -151,13 +158,16 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
                  .alias("q_decontam")),
          False),
         ("q_lm",
-         textops.unigram_logprob(docs, model=lm_model)
+         textops.unigram_logprob(docs, model=lm_model,
+                                 lang_col=lang)
          .select("doc_id", (F.col("mean_lp_micro") >= min_lp)
                  .alias("q_lm")),
          False),
         *([("q_ppl",
             textops.perplexity_buckets(
-                textops.unigram_logprob(docs, model=lm_model))
+                textops.unigram_logprob(docs, model=lm_model,
+                                        lang_col=lang),
+                by_col=lang)
             .select("doc_id",
                     F.col("bucket").isin(*sorted(ppl_keep))
                     .alias("q_ppl")),
@@ -196,6 +206,13 @@ def main():
                     help="FROZEN textops.unigram_model parquet for "
                          "the LM gate; defaults to self-scoring the "
                          "input corpus (the oracle-pinned demo)")
+    ap.add_argument("--lm-per-lang", action="store_true",
+                    help="CCNet fidelity: score the LM floor (and "
+                         "--ppl-keep buckets) against each doc's "
+                         "LANGUAGE's unigram model with per-language "
+                         "frozen thresholds, instead of one global "
+                         "model (a frozen --lm-model must then be a "
+                         "lang-keyed unigram_model relation)")
     ap.add_argument("--ppl-keep", metavar="BUCKETS",
                     help="CCNet perplexity-bucket gate: comma list of "
                          "buckets to keep (e.g. 'head,middle' — CCNet "
@@ -347,7 +364,8 @@ def main():
         lm_model=(spark.read.parquet(args.lm_model)
                   if args.lm_model else None),
         ppl_keep=(set(args.ppl_keep.split(","))
-                  if args.ppl_keep else None))
+                  if args.ppl_keep else None),
+        lang_aware=args.lm_per_lang)
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))

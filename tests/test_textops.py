@@ -1021,3 +1021,49 @@ def test_curate_ppl_bucket_gate(spark):
     assert any(v for v in got.values()) and not all(got.values())
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_curate_lang_aware_lm_gate(spark):
+    """--lm-per-lang: q_lm scores each doc against ITS language's LM
+    (so a doc ordinary within a minority language is no longer
+    penalized by the majority language's distribution), q_ppl
+    freezes per-language cutoffs, and the default pipeline is
+    byte-unchanged (lang_aware=False keeps the global gates)."""
+    from jobs.curate import build_flags
+
+    # en dominates; fr docs share their own common vocabulary. Under
+    # a GLOBAL LM the fr tokens are rare (low score); under per-lang
+    # LMs the fr docs are ordinary within fr.
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog "
+             "and keeps running through the quiet field today "
+             + f"marker{i % 7}", "en") for i in range(40)]
+        + [(100 + i, "le renard brun saute par dessus le chien "
+                     "et continue de courir dans le champ calme "
+                     + f"jeton{i % 3}", "fr") for i in range(6)],
+        "doc_id long, text string, lang string")
+
+    def q_lm(lang_aware, min_lp):
+        flagged, cols = build_flags(docs, min_lp=min_lp,
+                                    lang_aware=lang_aware)
+        assert "q_lm" in cols
+        return {r.doc_id: r.q_lm for r in
+                flagged.select("doc_id", "q_lm").collect()}
+
+    got_global = q_lm(False, -3_300_000)
+    got_lang = q_lm(True, -3_300_000)
+    fr = [100 + i for i in range(6)]
+    # the per-lang gate rescues fr docs the global gate drops
+    assert not any(got_global[d] for d in fr)
+    assert all(got_lang[d] for d in fr)
+    # exact parity with the per-lang scorer it composes
+    want = {r.doc_id: r.mean_lp_micro >= -3_300_000 for r in
+            textops.unigram_logprob(docs, lang_col="lang").collect()}
+    assert got_lang == want
+    # per-lang ppl buckets: each language contributes its own head
+    flagged, cols = build_flags(docs, min_lp=-99_000_000,
+                                lang_aware=True,
+                                ppl_keep={"head"})
+    heads = {r.doc_id for r in
+             flagged.where(F.col("q_ppl")).collect()}
+    assert any(d in heads for d in fr), "fr must have its own head"
