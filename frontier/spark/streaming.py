@@ -194,8 +194,9 @@ def run_available_now(df: DataFrame, out_path: str, checkpoint: str,
 # Multi-round streaming crawl loop (round-5, r4 VERDICT item 3)
 # ---------------------------------------------------------------------------
 
-OFFER_DDL = "url_canon string, priority int, warc_ts timestamp"
-FRONTIER_STATE_DDL = "pending binary, seen binary"
+OFFER_DDL = ("url_canon string, priority int, warc_ts timestamp, "
+             "cap int")
+FRONTIER_STATE_DDL = "pending binary, seen binary, cap bigint"
 SCHED_OUT_DDL = ("host string, url_canon string, priority int, "
                  "warc_ts timestamp")
 
@@ -213,7 +214,12 @@ def _frontier_state_fn(budget_per_host: int):
       (priority, warc_ts) (the batch discovery groupBy);
     * each trigger emits the top ``budget_per_host`` pending urls by
       (priority, warc_ts, url_canon) — politeness_cut's exact order —
-      marks them seen, and keeps the rest pending;
+      marks them seen, and keeps the rest pending; offers carry an
+      optional per-host ``cap`` column (the robots Crawl-delay
+      budget, ``min(budget, max(1, window_ms // delay))`` — attached
+      at offer-write time by streaming_crawl since robots(host) is
+      immutable) which overrides the budget and persists in state so
+      timeout-only re-offers honor it;
     * a host with leftover pending work arms a 1 ms processing-time
       timeout so the NEXT trigger re-invokes it even with no new
       offers (the batch loop re-ranks leftovers every round); a host
@@ -247,11 +253,16 @@ def _frontier_state_fn(budget_per_host: int):
         if state.exists:
             pending = pickle.loads(zlib.decompress(state.get[0]))
             seen = set(pickle.loads(zlib.decompress(state.get[1])))
+            cap = state.get[2] if state.get[2] is not None \
+                and state.get[2] >= 0 else None  # -1 = no cap stored
         else:
-            pending, seen = {}, set()
+            pending, seen, cap = {}, set(), None
         rows = [pdf for pdf in pdfs if len(pdf)]
         if rows:
             allo = pd.concat(rows, ignore_index=True)
+            caps = allo["cap"].dropna()
+            if len(caps):  # host-constant by construction
+                cap = int(caps.min())
             ts_us = allo["warc_ts"].to_numpy() \
                 .astype("datetime64[us]").astype("int64")
             cand: dict[str, tuple[int, int]] = {}
@@ -265,12 +276,13 @@ def _frontier_state_fn(budget_per_host: int):
                     pending[url] = offer
         take = sorted(pending.items(),
                       key=lambda kv: (kv[1][0], kv[1][1], kv[0]))
-        take = take[:budget_per_host]
+        take = take[:budget_per_host if cap is None else int(cap)]
         for url, _ in take:
             del pending[url]
             seen.add(url)
         state.update((zlib.compress(pickle.dumps(pending), 1),
-                      zlib.compress(pickle.dumps(sorted(seen)), 1)))
+                      zlib.compress(pickle.dumps(sorted(seen)), 1),
+                      -1 if cap is None else int(cap)))
         if pending:
             state.setTimeoutDuration(1)  # re-offer leftovers next trigger
         if take:
@@ -293,7 +305,8 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                     poll_sec: float = 0.2,
                     state_partitions: int | None = None,
                     sitemap_offers: DataFrame | None = None,
-                    robots_docs: DataFrame | None = None) -> dict:
+                    robots_docs: DataFrame | None = None,
+                    window_ms: int | None = None) -> dict:
     """The N-round crawl as ONE long-lived incremental streaming
     query (r3/r4 VERDICT: the batch loop re-plans every round; here
     the frontier plan — file source → per-host stateful schedule —
@@ -360,6 +373,13 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
       Restart-safe by idempotence: a replayed batch finds its hosts
       already known, so the delta is empty and the gate — a pure
       function of (host → rules) — decides identically.
+    * window_ms: honor robots Crawl-delay in the per-host budget
+      (the batch loop's politeness_cut rule: a host with delay d ms
+      serves at most max(1, window_ms // d) per round). The cap is
+      attached to offer rows at write time (robots(host) is
+      immutable) and persisted in the host's state, so the
+      long-lived streaming plan never references the robots
+      relation and timeout-only re-offers stay capped.
 
     Returns {"rounds": n, "scheduled_per_round": {...}}.
     tests/test_streaming.py proves N-round results identical to
@@ -386,6 +406,34 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
         # explicit schema: the append table may hold only empty
         # data files right after a no-new-host round
         return spark.read.schema(sched.ROBOTS_DDL).parquet(robots_dir)
+
+    def attach_cap(sel: DataFrame, gate: DataFrame | None) -> DataFrame:
+        """FRONTIER_COLS offers → OFFER_DDL rows: the per-host
+        Crawl-delay budget (``window_ms``, the batch loop's
+        politeness_cut rule: min(budget, max(1, window_ms // delay));
+        no/zero delay keeps the full budget) is attached AT
+        OFFER-WRITE TIME — robots(host) is immutable, so the cap is
+        a constant per host and can ride the offer files into the
+        state store instead of joining the robots relation into the
+        long-lived streaming plan."""
+        if window_ms is None or gate is None:
+            return sel.withColumn(
+                "cap", F.lit(int(budget_per_host)).cast("int"))
+        delays = gate.select(
+            "host", F.coalesce(F.col("crawl_delay_ms"), F.lit(0))
+            .alias("_d"))
+        withh = (sched.with_host(sel).join(delays, "host", "left")
+                 .withColumn("_d", F.coalesce(F.col("_d"), F.lit(0))))
+        capped = F.greatest(
+            F.lit(1),
+            (F.lit(int(window_ms)) / F.greatest(F.col("_d"), F.lit(1)))
+            .cast("long"))
+        cap = F.when(F.col("_d") > 0,
+                     F.least(F.lit(budget_per_host).cast("long"),
+                             capped)) \
+            .otherwise(F.lit(budget_per_host))
+        return withh.withColumn("cap", cap.cast("int")) \
+            .select("url_canon", "priority", "warc_ts", "cap")
 
     def promote(round_id: int) -> None:
         src = os.path.join(staging_dir, f"round_{round_id:05d}")
@@ -415,7 +463,8 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
             gate = robots_state()
         if gate is not None:
             frontier, _blocked = crawlmod._gate_frontier(frontier, gate)
-        frontier.select("url_canon", "priority", "warc_ts") \
+        attach_cap(frontier.select("url_canon", "priority", "warc_ts"),
+                   gate) \
             .write.mode("overwrite") \
             .parquet(os.path.join(offers_dir, "round_00000"))
         crawlmod._release_ckpts()
@@ -462,10 +511,10 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
                         (F.col("priority") + 1).alias("priority"),
                         F.col("page_ts").alias("warc_ts"))).alias("o"))
                     .select("url_canon", "o.priority", "o.warc_ts"))
+            gate = robots
             if robots is not None or incremental:
                 staged = sched.with_host(
                     cand.localCheckpoint(eager=False))
-                gate = robots
                 if incremental:
                     # append exactly this batch's never-seen hosts
                     # to the robots state table, then gate against
@@ -482,7 +531,8 @@ def streaming_crawl(spark: SparkSession, page_index: DataFrame,
             # leftover pending hosts re-offer via their state
             # timeout), but only PROMOTE it inside the horizon
             nxt = os.path.join(staging_dir, f"round_{batch_id + 1:05d}")
-            (cand.select("url_canon", "priority", "warc_ts")
+            (attach_cap(cand.select("url_canon", "priority", "warc_ts"),
+                        gate)
              .write.mode("overwrite").parquet(nxt))
             if not any(f.endswith(".parquet") for f in os.listdir(nxt)):
                 # empty discovery sets can emit zero data files; the

@@ -122,9 +122,13 @@ def main():
 
         page_index = crawl.prepare_page_index(pages).cache()
         stats = streaming.streaming_crawl(
-            spark, page_index, seeds, robots, args.budget, args.out,
+            spark, page_index, seeds,
+            None if args.acquire_robots else robots,
+            args.budget, args.out,
             max_rounds=args.rounds,
-            state_partitions=args.state_partitions)
+            state_partitions=args.state_partitions,
+            sitemap_offers=offers, robots_docs=robots_docs,
+            window_ms=args.window_ms)
         results_dir = os.path.join(args.out, "results")
         print(json.dumps({
             "mode": "streaming",

@@ -548,3 +548,49 @@ def test_streaming_curate_paragraph_gate_equals_batch(
     assert footer_ids[0] in flipped
     model.unpersist()
     eval_docs.unpersist()
+
+
+def test_streaming_crawl_window_ms_equals_batch(
+        spark, sf_dir, pages_dir, tmp_path_factory):
+    """r6: Crawl-delay budgets in the STREAMING loop — streaming_crawl
+    (window_ms=500) must reproduce crawl(window_ms=500) exactly: the
+    per-host cap rides the offer files into the state store (the
+    long-lived plan never joins robots), and the cap provably bites
+    (fewer results than an uncapped streaming run)."""
+    from frontier.spark import crawl
+    from frontier.spark.snapshots import SnapshotStore
+
+    seeds = synth.seeds_from_documents(spark, sf_dir).cache()
+    robots = synth.robots_df(spark).cache()
+    budget, rounds, window_ms = 3, 3, 500
+
+    pages = spark.read.parquet(pages_dir)
+    page_index = crawl.prepare_page_index(pages).cache()
+
+    store = SnapshotStore(str(tmp_path_factory.mktemp("batch_w")))
+    crawl.crawl(spark, page_index, seeds, robots, store,
+                budget_per_host=budget, max_rounds=rounds,
+                num_buckets=8, window_ms=window_ms)
+    want = {(r.url_canon, r.text, r.round) for r in
+            crawl.collect_results(spark, store).collect()}
+
+    work = str(tmp_path_factory.mktemp("stream_w"))
+    stats = streaming.streaming_crawl(
+        spark, page_index, seeds, robots, budget, work,
+        max_rounds=rounds, window_ms=window_ms)
+    got = {(r.url_canon, r.text, r.round) for r in
+           spark.read.parquet(os.path.join(work, "results"))
+           .collect()}
+    assert got == want and len(got) > 0
+
+    # the cap must actually bite vs an uncapped streaming run
+    work_u = str(tmp_path_factory.mktemp("stream_wu"))
+    streaming.streaming_crawl(
+        spark, page_index, seeds, robots, budget, work_u,
+        max_rounds=rounds)
+    uncapped = {(r.url_canon, r.round) for r in
+                spark.read.parquet(os.path.join(work_u, "results"))
+                .select("url_canon", "round").collect()}
+    capped = {(u, rd) for u, _t, rd in got}
+    assert capped != uncapped
+    assert stats["rounds"] == rounds
