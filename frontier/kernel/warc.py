@@ -155,6 +155,25 @@ def page_record(url: str, ts_us: int, html: bytes) -> bytes:
     ], html)
 
 
+def warcinfo_record(filename: str, ts_us: int,
+                    fields: list[tuple[str, str]] | None = None
+                    ) -> bytes:
+    """File-level ``warcinfo`` record (WARC/1.1 §6.2) — Common Crawl
+    opens every WARC file with one; block is application/warc-fields
+    describing the writer. WARC-Filename carries the member name."""
+    fields = fields if fields is not None else [
+        ("software", "frontier"),
+        ("format", "WARC File Format 1.1")]
+    block = "".join(f"{k}: {v}\r\n" for k, v in fields).encode()
+    return encode_record([
+        ("WARC-Type", "warcinfo"),
+        ("WARC-Record-ID", record_id("warcinfo", filename, str(ts_us))),
+        ("WARC-Filename", filename),
+        ("WARC-Date", format_warc_date(ts_us)),
+        ("Content-Type", "application/warc-fields"),
+    ], block)
+
+
 def request_record(url: str, ts_us: int) -> bytes:
     """pages-relation row → the WARC ``request`` record Common Crawl
     stores alongside each response (WARC/1.1 §6.4): a minimal HTTP/1.1

@@ -109,7 +109,8 @@ def write_part_files(resources: DataFrame, out_dir: str) -> None:
 def write_warc_files(pages: DataFrame, out_dir: str,
                      compress: bool = False,
                      with_request: bool = False,
-                     with_metadata: bool = False) -> None:
+                     with_metadata: bool = False,
+                     with_warcinfo: bool = False) -> None:
     """pages → WARC files (ISO 28500, the Common-Crawl container):
     one ``response`` record per page (MHTML bytes as the block), one
     ``.warc`` file per partition — executor-side fan-out, no driver
@@ -123,7 +124,10 @@ def write_warc_files(pages: DataFrame, out_dir: str,
     HTTP/1.1 GET) before and/or the ``metadata`` record
     (application/warc-fields fetch diagnostics) after each response,
     in Common Crawl's request→response→metadata order, linked via
-    deterministic WARC-Record-ID / WARC-Concurrent-To.
+    deterministic WARC-Record-ID / WARC-Concurrent-To;
+    ``with_warcinfo`` opens each file with the file-level
+    ``warcinfo`` record Common Crawl ships (stamped with the first
+    page's ts so output stays deterministic).
     :func:`ingest_warc_files` still reads pages from mixed-type
     files unchanged (non-response records skipped);
     :func:`ingest_warc_records` reads every record with its type."""
@@ -150,6 +154,9 @@ def write_warc_files(pages: DataFrame, out_dir: str,
             for row in rows:
                 url, ts = row["url"], int(row["ts_us"])
                 html = bytes(row["html"])
+                if with_warcinfo and not wrote:
+                    emit(fh, kwarc.warcinfo_record(
+                        os.path.basename(fname), ts))
                 if with_request:
                     emit(fh, kwarc.request_record(url, ts))
                 emit(fh, kwarc.page_record(url, ts, html))

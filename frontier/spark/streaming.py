@@ -681,7 +681,8 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                      model: DataFrame, eval_docs: DataFrame,
                      min_lp: int = -3_405_000,
                      max_files_per_trigger: int | None = None,
-                     paras_path: str | None = None) -> dict:
+                     paras_path: str | None = None,
+                     lang_aware: bool = False) -> dict:
     """Continuous-ingestion curation: the streaming face of
     jobs/curate.py for a corpus that arrives incrementally (new
     document files landing forever), run here as one availableNow
@@ -701,7 +702,10 @@ def streaming_curate(spark: SparkSession, docs_path: str,
       UNCHANGED batch operators (gopher_quality, decontam_overlap,
       unigram_logprob(model=...)). Freezing is what makes streaming
       ≡ batch: a self-scored LM or self-sliced eval set would shift
-      with every arriving batch.
+      with every arriving batch. ``lang_aware`` (r6) scores the LM
+      floor per language — ``model`` must then be a
+      ``unigram_model(..., lang_col=...)`` relation (jobs/curate.py
+      freezes the right shape from ``--lm-per-lang``).
     * **corpus-global dedup pressure** (paragraph_dedup duplicated-
       paragraph fractions, MinHash/LSH fuzzy dedup, SemDeDup) needs
       corpus-wide counts no single micro-batch carries — that stays
@@ -762,7 +766,9 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                       .select("doc_id",
                               (F.col("n_overlap") == 0).alias("q_decontam")),
                       "doc_id")
-                .join(textops.unigram_logprob(b, model=model)
+                .join(textops.unigram_logprob(
+                    b, model=model,
+                    lang_col="lang" if lang_aware else None)
                       .select("doc_id", "mean_lp_micro"), "doc_id", "left"))
             selected = flags.where(
                 F.col("passes_gopher") & F.col("q_decontam")

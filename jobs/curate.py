@@ -279,7 +279,8 @@ def main():
             (spark.read.parquet(args.lm_model) if args.lm_model
              else textops.unigram_model(
                  spark.read.parquet(
-                     os.path.join(args.sf_dir, "documents.parquet")))) \
+                     os.path.join(args.sf_dir, "documents.parquet")),
+                 lang_col="lang" if args.lm_per_lang else None)) \
                 .write.parquet(model_path)
         if not os.path.exists(eval_path):
             ev = (spark.read.parquet(args.eval_dir)
@@ -294,7 +295,8 @@ def main():
             spark, args.streaming_in, args.out, args.checkpoint,
             model=spark.read.parquet(model_path),
             eval_docs=spark.read.parquet(eval_path),
-            min_lp=args.min_lp, paras_path=args.paras)
+            min_lp=args.min_lp, paras_path=args.paras,
+            lang_aware=args.lm_per_lang)
         record = {
             "streaming": True,
             "rounds": res["rounds"],

@@ -290,3 +290,32 @@ def test_warc_type_filter_pushes_down(spark, sf_dir, tmp_path):
     assert recs.where(F.col("warc_type") == "request").count() == 40
     assert recs.where(F.col("warc_type") == "metadata").count() == 0
     assert recs.count() == 80
+
+
+def test_warcinfo_record_opens_file(spark, sf_dir, tmp_path):
+    """with_warcinfo: each emitted file OPENS with one warcinfo
+    record (application/warc-fields block naming the writer, its
+    WARC-Filename matching the file), pages still round-trip, and
+    the typed reader exposes it."""
+    import os as _os
+
+    from frontier import synth
+    from frontier.spark import sources
+
+    pages = synth.pages_from_documents(spark, sf_dir) \
+        .limit(30).coalesce(1)
+    out = str(tmp_path / "winfo")
+    sources.write_warc_files(pages, out, with_warcinfo=True)
+
+    fnames = [f for f in _os.listdir(out) if f.endswith(".warc")]
+    assert len(fnames) == 1
+    blob = open(_os.path.join(out, fnames[0]), "rb").read()
+    headers, start, end = warc.parse_warc_records(blob)[0]
+    assert headers.get("WARC-Type") == "warcinfo"
+    assert headers.get("WARC-Filename") == fnames[0]
+    assert b"software: frontier" in blob[start:end]
+
+    back = sources.ingest_warc_files(spark, out)
+    assert back.count() == 30  # warcinfo never becomes a page
+    recs = sources.ingest_warc_records(spark, out)
+    assert recs.where(F.col("warc_type") == "warcinfo").count() == 1
