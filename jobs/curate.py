@@ -47,11 +47,15 @@ aggregation over the flag columns — no per-gate actions).
 ``--streaming-in DIR`` switches to the continuous-ingestion mode
 (streaming.streaming_curate): document files landing in DIR are
 curated incrementally — cross-batch stateful exact dedup plus the
-per-document gates (gopher, decontamination, LM floor) scored
-against FROZEN stats persisted beside ``--checkpoint`` on the first
-invocation. Corpus-global stages (paragraph/fuzzy/semantic dedup)
-remain this batch job, run periodically over the accumulated
-curated table.
+per-document gates (gopher, decontamination, LM floor — per
+language with ``--lm-per-lang``) scored against FROZEN stats
+persisted beside ``--checkpoint`` on the first invocation.
+``--paras DIR`` additionally maintains the paragraph-hash index
+incrementally (text parsed once, on arrival) so the paragraph gate
+becomes a cheap hash-only aggregation
+(streaming.paragraph_casualties) instead of a full re-parse; the
+remaining corpus-global stages (fuzzy/semantic dedup) stay this
+batch job, run periodically over the accumulated curated table.
 """
 
 from __future__ import annotations
