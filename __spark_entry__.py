@@ -317,7 +317,22 @@ def q_text_stats(spark, sf_dir):
                "DIV greatest(n_ws_tokens, 1) AS BIGINT)")
         .alias("fertility_u"))
     lg = textops.lang_guess(docs)
-    return ts.join(bp, "doc_id").join(lg, "doc_id")
+    # r6 consolidation: html_clean's byte-compared tag-strip rides
+    # this relation (deterministic HTML template wrap → the
+    # operator's regexp chain; the oracle rebuilds both) — its old
+    # slot now grades substring_dedup
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script>"
+              "<style>p{color:red}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- c --><p>"),
+        F.replace(F.col("text"), F.lit(" table "),
+                  F.lit("</p>\n<p>")),
+        F.lit("</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>"))
+    hc = textops.html_clean(docs.withColumn("html", html)) \
+        .select("doc_id",
+                F.col("clean_text").alias("html_clean_text"))
+    return ts.join(bp, "doc_id").join(lg, "doc_id").join(hc, "doc_id")
 
 
 def q_minhash_sig(spark, sf_dir):
@@ -791,25 +806,16 @@ def q_paragraph_dedup(spark, sf_dir):
     return textops.paragraph_dedup(docs)
 
 
-def q_html_clean(spark, sf_dir):
-    """HTML tag-strip / boilerplate removal: each doc's text is
-    wrapped in a deterministic HTML template (script + style +
-    comment + entities + per-``table``-word paragraph tags) and the
-    operator's regexp chain strips it back to prose; the oracle
-    rebuilds the same template and applies the same chain in
-    DuckDB, so the cleaned strings compare byte-for-byte."""
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022 §4.1, suffix-array-free
+    Spark restatement): every token position covered by an 8-gram
+    occurring ≥2 times in the corpus is cut out; the oracle
+    restates the identical shingle/count/span-union/rebuild rule in
+    SQL, so clean_text compares byte-for-byte (2,101 duplicated
+    positions at sf0.01 — the spans provably bite)."""
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit("<html><head><script>var x=1;</script>"
-              "<style>p{color:red}</style></head><body><h1>Doc "),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><!-- c --><p>"),
-        F.replace(F.col("text"), F.lit(" table "),
-                  F.lit("</p>\n<p>")),
-        F.lit("</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>"))
-    return textops.html_clean(docs.withColumn("html", html)) \
-        .select("doc_id", "clean_text")
+    return textops.substring_dedup(docs, k=8, min_count=2)
 
 
 def q_media_features(spark, sf_dir):
@@ -866,7 +872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     paragraph_dedup, html_clean. New in r5: semantic_dedup (slot
     freed by folding the exact baseline into ann_approx_topk) and
     recrawl_schedule (slot freed by folding page_indegree into
-    pagerank as the joined authority relation)."""
+    pagerank as the joined authority relation). New in r6:
+    substring_dedup — ExactSubstr spans (slot freed by folding
+    html_clean's byte-compared tag-strip into text_stats as the
+    html_clean_text column)."""
     out = {
         "mhtml_extract_text": q_mhtml_extract_text,
         "mhtml_resource_count": q_mhtml_resource_count,
@@ -888,7 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "lsh_jaccard": q_lsh_jaccard,
         "paragraph_dedup": q_paragraph_dedup,
-        "html_clean": q_html_clean,
+        "substring_dedup": q_substring_dedup,
         "semantic_dedup": q_semantic_dedup,
         "ann_approx_topk": q_ann_approx_topk,
         "media_features": q_media_features,
@@ -1425,12 +1434,41 @@ def oracle_sql() -> dict[str, str]:
                        >= (length(text)-length(replace(text,'join','')))//4
                     THEN 'B'
                   ELSE 'C' END AS lang_guess
-              FROM documents)
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     '<html><head><script>var x=1;</script>'
+                     || '<style>p{color:red}</style></head><body><h1>Doc '
+                     || CAST(doc_id AS VARCHAR) || '</h1><!-- c --><p>'
+                     || replace(text, ' table ',
+                                '</p>' || chr(10) || '<p>')
+                     || '</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>'
+                         AS html
+              FROM documents
+            ), c1 AS (SELECT doc_id, regexp_replace(html,
+                 '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM h),
+            c2 AS (SELECT doc_id, regexp_replace(c,
+                 '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM c1),
+            c3 AS (SELECT doc_id, regexp_replace(c,
+                 '(?s)<!--.*?-->', ' ', 'g') AS c FROM c2),
+            c4 AS (SELECT doc_id, regexp_replace(c,
+                 '<[^>]+>', ' ', 'g') AS c FROM c3),
+            c5 AS (SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(
+                   c, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+                   AS c FROM c4),
+            hc AS (
+              SELECT doc_id,
+                     trim(regexp_replace(c, '\\s+', ' ', 'g'))
+                         AS html_clean_text
+              FROM c5)
             SELECT ts.doc_id, n_tokens, alpha_ratio, punct_ratio,
                    n_ws_tokens, n_bpe_tokens, fertility_u,
-                   hits_a, hits_b, hits_c, lang_guess
+                   hits_a, hits_b, hits_c, lang_guess, html_clean_text
             FROM ts JOIN bp ON ts.doc_id = bp.doc_id
-            JOIN lg ON ts.doc_id = lg.doc_id""",
+            JOIN lg ON ts.doc_id = lg.doc_id
+            JOIN hc ON ts.doc_id = hc.doc_id""",
         "minhash_sig": _MINHASH_CTE + "SELECT * FROM sig",
         "simhash_pairs": _SIMHASH_CTE + """
             , chunks AS (
@@ -2010,32 +2048,43 @@ def oracle_sql() -> dict[str, str]:
                    cnt.n_occurrences,
                    cnt.n_occurrences >= 2 AS is_dup
             FROM pe JOIN cnt ON md5(pe.para) = cnt.para_md5""",
-        "html_clean": """
-            WITH h AS (
+        "substring_dedup": """
+            WITH ws AS (
               SELECT doc_id,
-                     '<html><head><script>var x=1;</script>'
-                     || '<style>p{color:red}</style></head><body><h1>Doc '
-                     || CAST(doc_id AS VARCHAR) || '</h1><!-- c --><p>'
-                     || replace(text, ' table ',
-                                '</p>' || chr(10) || '<p>')
-                     || '</p>&amp;lt;&nbsp;&lt;end&gt;</body></html>'
-                         AS html
+                     list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\\s+'), x -> x <> '') AS w
               FROM documents
-            ), c1 AS (SELECT doc_id, regexp_replace(html,
-                 '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM h),
-            c2 AS (SELECT doc_id, regexp_replace(c,
-                 '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM c1),
-            c3 AS (SELECT doc_id, regexp_replace(c,
-                 '(?s)<!--.*?-->', ' ', 'g') AS c FROM c2),
-            c4 AS (SELECT doc_id, regexp_replace(c,
-                 '<[^>]+>', ' ', 'g') AS c FROM c3),
-            c5 AS (SELECT doc_id,
-                 replace(replace(replace(replace(replace(replace(
-                   c, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
-                   AS c FROM c4)
-            SELECT doc_id,
-                   trim(regexp_replace(c, '\\s+', ' ', 'g'))
-                       AS clean_text
-            FROM c5""",
+            ), tok AS (
+              SELECT doc_id, w, len(w) AS n FROM ws WHERE len(w) >= 1
+            ), sh AS (
+              SELECT doc_id, s - 1 AS s0,
+                     md5(array_to_string(w[s:s+7], ' ')) AS h
+              FROM tok,
+                   LATERAL (SELECT unnest(generate_series(1, n - 7))
+                            AS s)
+              WHERE n >= 8
+            ), cnt AS (
+              SELECT h, count(*) AS c FROM sh GROUP BY h
+            ), dup AS (
+              SELECT doc_id, s0 FROM sh JOIN cnt USING (h)
+              WHERE c >= 2
+            ), toks AS (
+              SELECT doc_id, i - 1 AS i0, w[i] AS tokv
+              FROM tok,
+                   LATERAL (SELECT unnest(generate_series(1, n)) AS i)
+            ), rem AS (
+              SELECT DISTINCT t.doc_id, t.i0
+              FROM toks t JOIN dup d
+                ON d.doc_id = t.doc_id
+               AND t.i0 BETWEEN d.s0 AND d.s0 + 7
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   count(r.i0) AS n_removed,
+                   COALESCE(string_agg(
+                       CASE WHEN r.i0 IS NULL THEN t.tokv END,
+                       ' ' ORDER BY t.i0), '') AS clean_text
+            FROM toks t LEFT JOIN rem r
+              ON r.doc_id = t.doc_id AND r.i0 = t.i0
+            GROUP BY t.doc_id""",
     }

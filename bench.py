@@ -206,9 +206,12 @@ def main():
                      "training_mix", "events_asof",
                      "events_range_count",
                      # new in round 4
-                     "paragraph_dedup", "html_clean",
+                     "paragraph_dedup",
                      # new in round 5
-                     "semantic_dedup"):
+                     "semantic_dedup",
+                     # new in round 6 (html_clean folded into
+                     # text_stats; its slot grades ExactSubstr)
+                     "substring_dedup"):
             # two runs each: min → `queries`, both → `spread`
             timed(name, lambda n=name: run_query(n))
             timed(name, lambda n=name: run_query(n))
@@ -270,6 +273,10 @@ def main():
                        "part_above_avg": "pricing_summary"},
         # round-5: the exact ANN baseline joined the tagged union
         "renamed_r5": {"ann_cosine_topk": "ann_approx_topk"},
+        # round-6: html_clean's byte-compared tag-strip now rides
+        # text_stats (html_clean_text column); its query slot grades
+        # substring_dedup (ExactSubstr spans)
+        "renamed_r6": {"html_clean": "text_stats"},
     }))
     summary = json.dumps({
         "metric": "frontier URLs scheduled+parsed/sec "

@@ -1067,3 +1067,84 @@ def test_curate_lang_aware_lm_gate(spark):
     heads = {r.doc_id for r in
              flagged.where(F.col("q_ppl")).collect()}
     assert any(d in heads for d in fr), "fr must have its own head"
+
+
+def test_substring_dedup_matches_pure_python(spark):
+    """ExactSubstr (r6): the covered-position rule checked
+    exhaustively against a pure-Python reimplementation — every
+    token under a k-gram occurring >= min_count times (corpus-wide,
+    including within one doc) is removed, nothing else is, and
+    clean_text is the kept tokens joined by single spaces."""
+    import hashlib
+
+    corpus = [
+        (0, "a b c d e f g h unique tail here"),
+        (1, "x a b c d e f g h y z"),
+        (2, "totally different words only once each time"),
+        (3, "p q r s t u v w p q r s t u v w"),   # self-repeat
+        (4, "  spaced   out a b c d e f g h  "),  # ws-normalized
+        (5, "short doc"),                          # < k tokens
+        (6, None),                                 # token-less: absent
+    ]
+    k, mc = 8, 2
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.substring_dedup(docs, k=k, min_count=mc).collect()}
+
+    toks = {d: [w for w in (t or "").strip().lower().split() if w]
+            for d, t in corpus}
+    from collections import Counter
+    counts = Counter()
+    for d, ws in toks.items():
+        for s in range(len(ws) - k + 1):
+            counts[" ".join(ws[s:s + k])] += 1
+    assert 6 not in got
+    for d, ws in toks.items():
+        if not ws:
+            continue
+        cov = [False] * len(ws)
+        for s in range(len(ws) - k + 1):
+            if counts[" ".join(ws[s:s + k])] >= mc:
+                for i in range(s, s + k):
+                    cov[i] = True
+        kept = [w for w, c in zip(ws, cov) if not c]
+        r = got[d]
+        assert r.n_tokens == len(ws), d
+        assert r.n_removed == sum(cov), d
+        assert r.clean_text == " ".join(kept), d
+    # the rule must bite on this corpus, both cross-doc and self
+    assert got[0].n_removed == 8 and got[1].n_removed == 8
+    assert got[3].n_removed == 16  # whole self-repeating doc removed
+    assert got[2].n_removed == 0 and got[5].n_removed == 0
+
+
+def test_substring_dedup_span_union_exceeds_k(spark):
+    """A repeated substring LONGER than k is removed in full (the
+    union of its overlapping duplicated k-grams — the equivalence
+    with the suffix-array formulation), while the unique flanks
+    survive."""
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token repeat
+    docs = spark.createDataFrame(
+        [(0, f"left flank {shared} right flank"),
+         (1, f"other intro {shared} other outro")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.substring_dedup(docs, k=8, min_count=2).collect()}
+    for d in (0, 1):
+        assert got[d].n_removed == 12, got[d]
+        assert "s0" not in got[d].clean_text
+        assert "s11" not in got[d].clean_text
+    assert got[0].clean_text == "left flank right flank"
+    assert got[1].clean_text == "other intro other outro"
+
+
+def test_substring_dedup_plan_shape(spark):
+    """Scale contract: ONE uniform-key shuffle for the corpus
+    shingle counts (+ the per-doc start-list aggregation) — no
+    cartesian, no broadcast of the unbounded shingle relation."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i")], "doc_id long, text string")
+    plan = textops.substring_dedup(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
