@@ -69,6 +69,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def apply_substr_dedup(docs, k: int, min_count: int = 2):
+    """Optional REWRITE stage run before every gate (Lee et al. 2022
+    run ExactSubstr over the raw corpus before training): each doc's
+    text is replaced by ``textops.substring_dedup``'s clean_text —
+    repeated ≥k-token spans cut out, whitespace-normalized — and
+    docs left with no tokens at all (pure boilerplate, or token-less
+    input) drop out of the corpus entirely."""
+    from pyspark.sql import functions as F
+
+    from frontier.spark import textops
+
+    sd = textops.substring_dedup(docs, k=k, min_count=min_count)
+    return (docs.select("doc_id", "lang")
+            .join(sd.where(F.col("clean_text") != "")
+                  .select("doc_id",
+                          F.col("clean_text").alias("text")),
+                  "doc_id")
+            .select("doc_id", "text", "lang"))
+
+
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
                 eval_docs=None, semantic_casualties=None,
@@ -210,6 +230,14 @@ def main():
                     help="FROZEN textops.unigram_model parquet for "
                          "the LM gate; defaults to self-scoring the "
                          "input corpus (the oracle-pinned demo)")
+    ap.add_argument("--substr-k", type=int, default=None,
+                    metavar="K",
+                    help="ExactSubstr rewrite stage (Lee et al. "
+                         "2022): before any gate, cut every token "
+                         "span covered by a K-token window occurring "
+                         "twice+ in the corpus out of the text; docs "
+                         "reduced to nothing drop out. The paper "
+                         "uses K=50 tokens")
     ap.add_argument("--lm-per-lang", action="store_true",
                     help="CCNet fidelity: score the LM floor (and "
                          "--ppl-keep buckets) against each doc's "
@@ -341,6 +369,9 @@ def main():
             docs.withColumnRenamed("text", "html")) \
             .withColumnRenamed("clean_text", "text").drop("html")
 
+    if args.substr_k:
+        docs = apply_substr_dedup(docs, args.substr_k)
+
     # eval relation needs only text; a constant doc_id satisfies the
     # operator's schema (eval grams are exploded+distinct, the id is
     # never used on that side)
@@ -392,6 +423,7 @@ def main():
         "n_selected": n_out,
         "eval_source": eval_source,
         "min_jaccard": args.min_jaccard,
+        **({"substr_k": args.substr_k} if args.substr_k else {}),
         **({"semantic_threshold": args.semantic_threshold}
            if args.semantic_dedup else {}),
         "wall_sec": round(time.perf_counter() - t0, 2),

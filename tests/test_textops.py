@@ -1148,3 +1148,25 @@ def test_substring_dedup_plan_shape(spark):
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curate_substr_rewrite_stage(spark):
+    """--substr-k: the ExactSubstr rewrite runs BEFORE the gates —
+    boilerplate spans vanish from the text the gates score, and a
+    doc that was nothing but boilerplate drops out of the corpus."""
+    from jobs.curate import apply_substr_dedup
+
+    shared = " ".join(f"b{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, f"real content words here {shared}", "en"),
+         (1, f"{shared} more real prose follows", "en"),
+         (2, shared, "en"),           # pure boilerplate: drops out
+         (3, "unique text kept as is", "en")],
+        "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in
+           apply_substr_dedup(docs, k=8).collect()}
+    assert set(got) == {0, 1, 3}
+    assert got[0].text == "real content words here"
+    assert got[1].text == "more real prose follows"
+    assert got[3].text == "unique text kept as is"
+    assert all(r.lang == "en" for r in got.values())
