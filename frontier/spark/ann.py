@@ -257,8 +257,34 @@ def _codebook_rows(embeddings: DataFrame, n_cells: int = 16,
     (:func:`ivf_topk`, :func:`semantic_dedup`) feed these straight
     into the numpy assignment closure, skipping a createDataFrame →
     collect roundtrip per use."""
+    from . import session
+
     xq = embeddings.select("vec_id", _quantize("embedding", quant)
                            .alias("xq"))
+    # the training makes n_iter+1 passes over xq (seed rank + one
+    # fused assign/partial-sum pass per Lloyd iteration) — lazily
+    # checkpoint it so the source is scanned + quantized ONCE, and
+    # release the blocks before returning (checkpoint_rdd handle:
+    # localCheckpoint blocks bypass CacheManager, the r5 rule). At
+    # 10⁹ vectors MEMORY_AND_DISK spills rather than re-reading
+    # parquet per pass; either is correct, this is the faster
+    # default.
+    handle = None
+    if n_iter >= 1:
+        xq = xq.localCheckpoint(eager=False)
+        handle = session.checkpoint_rdd(xq)
+    try:
+        return _lloyd_loop(xq, n_cells, n_iter)
+    finally:
+        if handle is not None:
+            try:
+                handle.unpersist(False)
+            except Exception:
+                pass  # session teardown race
+
+
+def _lloyd_loop(xq: DataFrame, n_cells: int, n_iter: int
+                ) -> list[tuple[int, list[float]]]:
     seed_rows = (xq.select(F.md5(F.col("vec_id").cast("string"))
                            .alias("_m"), "vec_id", "xq")
                  .orderBy("_m", "vec_id").limit(n_cells).collect())
