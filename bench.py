@@ -293,11 +293,14 @@ def main():
         # deltas self-explain (r5 VERDICT item 4); details in the
         # detail line + BENCH/BASELINE.md
         "notes": "r6: ann re-rank + semdedup prune moved to the "
-                 "quantized numpy scorer (ann_approx_topk/"
-                 "semantic_dedup expected faster); "
+                 "quantized numpy scorer (semantic_dedup 5.0->2.0s, "
+                 "ann_approx_topk 3.2->2.8s at sf0.1); "
+                 "substring_dedup is NEW in the timed set (~2.5s — "
+                 "the total grew by a new query, not a regression); "
+                 "unigram_logprob is now per-language (heavier by "
+                 "design); html_clean rides text_stats (renamed_r6); "
                  "frontier_schedule_parse retains the r5 pruned "
-                 "robots gate (~+0.5s measured insurance vs the "
-                 "scale-unsafe unpruned broadcast). Compare "
+                 "robots gate (~+0.5s measured insurance). Compare "
                  "cpu_probe_sec to BENCH/BASELINE.md (~0.23s quiet) "
                  "before reading deltas as regressions.",
     })
