@@ -682,7 +682,9 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                      min_lp: int = -3_405_000,
                      max_files_per_trigger: int | None = None,
                      paras_path: str | None = None,
-                     lang_aware: bool = False) -> dict:
+                     lang_aware: bool = False,
+                     shingles_path: str | None = None,
+                     substr_k: int = 50) -> dict:
     """Continuous-ingestion curation: the streaming face of
     jobs/curate.py for a corpus that arrives incrementally (new
     document files landing forever), run here as one availableNow
@@ -724,7 +726,15 @@ def streaming_curate(spark: SparkSession, docs_path: str,
       so a doc's verdict can flip from keep to drop as the corpus
       accumulates — no append-only sink can retract); callers
       anti-join the casualty list at read time, the same
-      casualty-relation shape as jobs/curate.py's q_neardup.
+      casualty-relation shape as jobs/curate.py's q_neardup. The
+      EXACTSUBSTR tier gets the same treatment (r6):
+      ``shingles_path`` appends each batch's k-gram index
+      (textops.substring_index, ``substr_k`` tokens per window), so
+      the corpus-wide span rewrite —
+      :func:`substring_casualty_spans` +
+      textops.apply_substring_spans at read time — never re-shingles
+      text; only MinHash-fuzzy and semantic dedup remain the
+      periodic batch job.
 
     Per-gate absent-doc defaults match jobs/curate.py build_flags:
     token-less docs are absent from unigram_logprob's output and are
@@ -758,6 +768,15 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                  .select("doc_id", "para_md5")
                  .write.mode("overwrite")
                  .parquet(os.path.join(paras_path,
+                                       f"round={batch_id}")))
+            if shingles_path is not None:
+                # the ExactSubstr tier's incremental state: text is
+                # shingled once, on arrival; the corpus-wide rewrite
+                # (substring_casualty_spans + apply_substring_spans)
+                # runs at read time over accumulated slim rows
+                (textops.substring_index(b, k=substr_k)
+                 .write.mode("overwrite")
+                 .parquet(os.path.join(shingles_path,
                                        f"round={batch_id}")))
             flags = (
                 b.join(textops.gopher_quality(b)
@@ -794,6 +813,26 @@ def streaming_curate(spark: SparkSession, docs_path: str,
     return {"rounds": len(selected_per_round),
             "selected_per_round": dict(sorted(
                 selected_per_round.items()))}
+
+
+def substring_casualty_spans(spark: SparkSession, shingles_path: str,
+                             min_count: int = 2) -> DataFrame:
+    """The ExactSubstr span relation over the INCREMENTAL shingle
+    index :func:`streaming_curate` maintains under ``shingles_path``
+    — ``(doc_id, s)`` duplicated k-gram starts given corpus-so-far
+    counts. Feed to ``textops.apply_substring_spans(docs, spans, k)``
+    at read time to cut the spans out of the curated text. Like the
+    paragraph gate, verdicts only GROW (a span can become duplicated
+    when its twin arrives later), which is why the rewrite is
+    deferred rather than per-batch. One uniform h-key shuffle over
+    slim rows; no text re-shingle."""
+    sh = (spark.read
+          .schema("doc_id bigint, s int, h string")
+          .parquet(shingles_path))
+    counts = sh.groupBy("h").agg(F.count("*").alias("_c"))
+    return (sh.join(counts, "h")
+            .where(F.col("_c") >= min_count)
+            .select("doc_id", "s"))
 
 
 def paragraph_casualties(spark: SparkSession, paras_path: str,

@@ -1162,32 +1162,63 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
     token-less docs are absent (the unigram_logprob contract).
     Returns (doc_id, n_tokens, n_removed, clean_text).
     """
+    sh = substring_index(docs, k, text_col)
+    counts = sh.groupBy("h").agg(F.count("*").alias("_c"))
+    dup_starts = (sh.join(counts, "h")
+                  .where(F.col("_c") >= min_count)
+                  .select("doc_id", "s"))
+    return apply_substring_spans(docs, dup_starts, k, text_col)
+
+
+def substring_index(docs: DataFrame, k: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """The k-gram shingle index :func:`substring_dedup` counts over
+    — ``(doc_id, s, h)``: one md5 per k-token window start (narrow
+    JVM pass, the tokenization rule shared with the rest of the
+    engine). Factored out (r6, mirroring paragraph_index) so
+    streaming_curate can MAINTAIN it incrementally: each micro-batch
+    appends its slice, making corpus-wide ExactSubstr a hash-only
+    aggregation over accumulated slim rows instead of a full text
+    re-shingle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    w = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
+                 lambda x: x != F.lit(""))
+    return docs.select("doc_id", w.alias("w")) \
+        .where(F.size("w") >= k) \
+        .select(
+            "doc_id",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.size("w") - k),
+                lambda s: F.md5(F.concat_ws(
+                    " ", F.slice(F.col("w"), s + 1, k)))))
+            .alias("s", "h"))
+
+
+def apply_substring_spans(docs: DataFrame, dup_starts: DataFrame,
+                          k: int, text_col: str = "text"
+                          ) -> DataFrame:
+    """Rewrite ``docs`` given a ``(doc_id, s)`` relation of
+    duplicated k-gram starts (from :func:`substring_dedup`'s inline
+    counts, or from the incremental index via
+    streaming.substring_casualty_spans): the span union is cut out
+    per doc in one Arrow-batched kernel. Returns (doc_id, n_tokens,
+    n_removed, clean_text); token-less docs absent."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     w = F.filter(F.split(F.lower(F.trim(t)), r"\s+"),
                  lambda x: x != F.lit(""))
     base = docs.select("doc_id", w.alias("w")) \
         .where(F.size("w") >= 1)
-    sh = base.where(F.size("w") >= k).select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.size("w") - k),
-            lambda s: F.md5(F.concat_ws(
-                " ", F.slice(F.col("w"), s + 1, k)))))
-        .alias("s", "h"))
-    counts = sh.groupBy("h").agg(F.count("*").alias("_c"))
-    dup_starts = (sh.join(counts, "h")
-                  .where(F.col("_c") >= min_count)
-                  .groupBy("doc_id")
-                  .agg(F.collect_list("s").alias("_starts")))
+    starts = dup_starts.groupBy("doc_id") \
+        .agg(F.collect_list("s").alias("_starts"))
 
     kk = int(k)
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("n_tokens bigint, n_removed bigint, clean_text string")
-    def rebuild(ws: pd.Series, starts: pd.Series) -> pd.DataFrame:
+    def rebuild(ws: pd.Series, starts_col: pd.Series) -> pd.DataFrame:
         import numpy as np
         nt, nr, ct = [], [], []
-        for wlist, ss in zip(ws, starts):
+        for wlist, ss in zip(ws, starts_col):
             n = len(wlist)
             cov = np.zeros(n, dtype=bool)
             if ss is not None:
@@ -1200,7 +1231,7 @@ def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
         return pd.DataFrame(
             {"n_tokens": nt, "n_removed": nr, "clean_text": ct})
 
-    return (base.join(dup_starts, "doc_id", "left")
+    return (base.join(starts, "doc_id", "left")
             .select("doc_id",
                     rebuild(F.col("w"), F.col("_starts")).alias("_r"))
             .select("doc_id", "_r.n_tokens", "_r.n_removed",

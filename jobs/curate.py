@@ -273,6 +273,14 @@ def main():
                          "count; select final docs by anti-joining "
                          "streaming.paragraph_casualties(DIR) at "
                          "read time")
+    ap.add_argument("--shingles", metavar="DIR",
+                    help="with --streaming-in: maintain the "
+                         "incremental ExactSubstr k-gram index under "
+                         "DIR (k from --substr-k, default 50) and "
+                         "report the current duplicated-span count; "
+                         "rewrite final docs at read time via "
+                         "textops.apply_substring_spans("
+                         "streaming.substring_casualty_spans(DIR))")
     ap.add_argument("--semantic-dedup", action="store_true",
                     help="add the SemDeDup gate: cluster the sf-dir's "
                          "embeddings.parquet with the Lloyd-IVF "
@@ -328,7 +336,9 @@ def main():
             model=spark.read.parquet(model_path),
             eval_docs=spark.read.parquet(eval_path),
             min_lp=args.min_lp, paras_path=args.paras,
-            lang_aware=args.lm_per_lang)
+            lang_aware=args.lm_per_lang,
+            shingles_path=args.shingles,
+            substr_k=args.substr_k or 50)
         record = {
             "streaming": True,
             "rounds": res["rounds"],
@@ -343,6 +353,10 @@ def main():
                 .paragraph_casualties(
                     spark, args.paras,
                     max_dup_para=args.max_dup_para).count()
+        if args.shingles:
+            record["n_dup_spans"] = streaming \
+                .substring_casualty_spans(spark, args.shingles) \
+                .count()
         record["wall_sec"] = round(time.perf_counter() - t0, 2)
         print(json.dumps(record))
         spark.stop()

@@ -594,3 +594,82 @@ def test_streaming_crawl_window_ms_equals_batch(
     capped = {(u, rd) for u, _t, rd in got}
     assert capped != uncapped
     assert stats["rounds"] == rounds
+
+
+def test_streaming_curate_shingle_index_equals_batch(
+        spark, sf_dir, tmp_path_factory):
+    """r6: the ExactSubstr tier over the INCREMENTAL shingle index —
+    two invocations of a split corpus maintain the k-gram index; the
+    read-time rewrite (substring_casualty_spans +
+    apply_substring_spans) must equal batch substring_dedup over the
+    full deduped corpus, and a span whose duplicate arrives LATE
+    must appear in the final span set but not the early one."""
+    from frontier.spark import textops
+
+    docs_dir = str(tmp_path_factory.mktemp("scur_docs"))
+    out = str(tmp_path_factory.mktemp("scur_out"))
+    ckpt = str(tmp_path_factory.mktemp("scur_ckpt"))
+    shingles = str(tmp_path_factory.mktemp("scur_shingles"))
+    k = 8
+
+    base = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text", "lang"))
+    base_ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+    half = len(base_ids) // 2
+    early_id, late_id = base_ids[0], base_ids[-1]
+    tail = " " + " ".join(f"t{i}" for i in range(10))
+    docs = base.withColumn(
+        "text", F.when(F.col("doc_id").isin([early_id, late_id]),
+                       F.concat_ws("", F.col("text"), F.lit(tail)))
+        .otherwise(F.col("text")))
+    pdf = docs.orderBy("doc_id").toPandas()
+
+    model = textops.unigram_model(docs).persist()
+    eval_docs = docs.where(F.col("doc_id") % 97 == 0).persist()
+
+    _write_doc_file(pdf.iloc[:half], f"{docs_dir}/file_000.parquet")
+    streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=-99_000_000, shingles_path=shingles, substr_k=k)
+    early_spans = {(r.doc_id, r.s) for r in
+                   streaming.substring_casualty_spans(spark, shingles)
+                   .collect()}
+    _write_doc_file(pdf.iloc[half:], f"{docs_dir}/file_001.parquet")
+    streaming.streaming_curate(
+        spark, docs_dir, out, ckpt, model=model, eval_docs=eval_docs,
+        min_lp=-99_000_000, shingles_path=shingles, substr_k=k)
+    spans = streaming.substring_casualty_spans(spark, shingles)
+    final_spans = {(r.doc_id, r.s) for r in spans.collect()}
+
+    # the shared TAIL's spans only exist once its twin arrived (the
+    # corpus has natural duplicated 8-grams too, so assert on the
+    # tail tokens specifically: present under the early span set,
+    # cut under the final one)
+    assert {s for d, s in early_spans if d == early_id} \
+        < {s for d, s in final_spans if d == early_id}
+    assert any(d == late_id for d, _ in final_spans)
+    early_df = spark.createDataFrame(
+        sorted(early_spans) or [(None, None)], "doc_id long, s int") \
+        .where(F.col("doc_id").isNotNull())
+    one = docs.where(F.col("doc_id") == early_id)
+    before = textops.apply_substring_spans(one, early_df, k=k) \
+        .collect()[0]
+    after = textops.apply_substring_spans(
+        one, spans, k=k).collect()[0]
+    assert " t0 " in f" {before.clean_text} "
+    assert " t0 " not in f" {after.clean_text} "
+
+    # read-time rewrite equals batch ExactSubstr over the deduped
+    # full corpus, restricted to the streamed survivors
+    out_docs = spark.read.parquet(out).select("doc_id", "text")
+    got = {r.doc_id: (r.n_removed, r.clean_text) for r in
+           textops.apply_substring_spans(out_docs, spans, k=k)
+           .collect()}
+    reps = textops.exact_dedup(docs).select("doc_id", "text")
+    want_all = {r.doc_id: (r.n_removed, r.clean_text) for r in
+                textops.substring_dedup(reps, k=k).collect()}
+    assert got and set(got) <= set(want_all)
+    for d, v in got.items():
+        assert v == want_all[d], d
+    model.unpersist()
+    eval_docs.unpersist()
