@@ -1120,6 +1120,66 @@ def paragraph_dedup(docs: DataFrame, min_count: int = 2,
                     (F.col("n_occurrences") >= min_count).alias("is_dup")))
 
 
+def dsir_weights(docs: DataFrame, target_model: DataFrame,
+                 raw_model: DataFrame, text_col: str = "text",
+                 lang_col: str | None = None) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document,
+    ``log w(x) = log p_target(x) − log p_raw(x)`` under two FROZEN
+    bag-of-tokens models — a target-domain :func:`unigram_model`
+    (e.g. trained on a curated/wiki-quality corpus) and a raw-pool
+    model. High weight = looks like the target distribution relative
+    to the pool.
+
+    Both log-likelihoods are the engine's integer micro-nat SUMS
+    (the paper's product over hashed features ≡ sum of logs; sums,
+    not per-token means — document length is part of the
+    likelihood), so the weight is an exact integer difference —
+    reduction-order-proof like every other LM number here. Two
+    vocabulary equi-joins + one doc_id join; nothing new shuffles.
+    Returns (doc_id, n_tokens, log_w_micro).
+    """
+    tgt = unigram_logprob(docs, text_col, model=target_model,
+                          lang_col=lang_col) \
+        .select("doc_id", "n_tokens",
+                F.col("sum_lp_micro").alias("_lp_t"))
+    raw = unigram_logprob(docs, text_col, model=raw_model,
+                          lang_col=lang_col) \
+        .select("doc_id", F.col("sum_lp_micro").alias("_lp_r"))
+    return (tgt.join(raw, "doc_id")
+            .select("doc_id", "n_tokens",
+                    (F.col("_lp_t") - F.col("_lp_r"))
+                    .alias("log_w_micro")))
+
+
+def dsir_resample(weighted: DataFrame, n: int, salt: str = "dsir",
+                  id_col: str = "doc_id",
+                  weight_col: str = "log_w_micro") -> DataFrame:
+    """DSIR's sampling step: ``n`` docs WITHOUT replacement with
+    probability ∝ w, via the Gumbel-top-k identity (argtop-k of
+    ``log w + Gumbel`` ~ weighted sampling without replacement) —
+    fully deterministic: the Gumbel variate derives from the same
+    md5-basis uniform the engine's stratified sampler uses
+    (u = (basis + 0.5)/2^32 from the first 8 md5 hex digits of
+    (salt, id)), so reruns and engines agree on the selected SET.
+
+    Plan: one narrow key computation + a single top-``n``
+    (sort-limit — Spark executes it as per-partition top-n then a
+    driver-side merge of n·partitions candidates, never a full
+    sort-shuffle). Returns the selected (id, weight, key) rows.
+    """
+    basis = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("double")
+    u = (basis + F.lit(0.5)) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
+    key = F.col(weight_col) / F.lit(1e6) + gumbel
+    return (weighted
+            .withColumn("_key", key)
+            .orderBy(F.col("_key").desc(), F.col(id_col))
+            .limit(int(n)))
+
+
 def substring_dedup(docs: DataFrame, k: int = 50, min_count: int = 2,
                     text_col: str = "text") -> DataFrame:
     """ExactSubstr deduplication (Lee et al. 2022, "Deduplicating

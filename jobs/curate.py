@@ -238,6 +238,18 @@ def main():
                          "twice+ in the corpus out of the text; docs "
                          "reduced to nothing drop out. The paper "
                          "uses K=50 tokens")
+    ap.add_argument("--dsir-target", metavar="PARQUET",
+                    help="DSIR importance resampling (Xie et al. "
+                         "2023) AFTER the gates: train a frozen "
+                         "unigram model on this target-domain "
+                         "corpus (text column), weight each "
+                         "surviving doc by log p_target - log p_raw "
+                         "(raw = the survivors' own model) and keep "
+                         "--dsir-n docs by deterministic "
+                         "Gumbel-top-k")
+    ap.add_argument("--dsir-n", type=int, default=None,
+                    help="number of docs DSIR keeps (required with "
+                         "--dsir-target)")
     ap.add_argument("--lm-per-lang", action="store_true",
                     help="CCNet fidelity: score the LM floor (and "
                          "--ppl-keep buckets) against each doc's "
@@ -421,6 +433,21 @@ def main():
     for n in flag_cols:
         keep = keep.where(F.col(n))
     selected = keep.select("doc_id", "text", "lang")
+    if args.dsir_target:
+        if not args.dsir_n:
+            ap.error("--dsir-target requires --dsir-n")
+        # DSIR after the gates: weight survivors toward the target
+        # domain, keep n by deterministic Gumbel-top-k. Raw model =
+        # the survivors' own distribution (the paper's pool);
+        # target model trained once on the provided corpus.
+        target_docs = spark.read.parquet(args.dsir_target) \
+            .select(F.lit(0).cast("long").alias("doc_id"), "text")
+        w = textops.dsir_weights(
+            selected, textops.unigram_model(target_docs),
+            textops.unigram_model(selected))
+        picked = textops.dsir_resample(w, n=args.dsir_n) \
+            .select("doc_id")
+        selected = selected.join(picked, "doc_id")
     selected.write.mode("overwrite").parquet(args.out)
 
     # per-gate survivors from ONE aggregation over flag columns

@@ -1170,3 +1170,67 @@ def test_curate_substr_rewrite_stage(spark):
     assert got[1].text == "more real prose follows"
     assert got[3].text == "unique text kept as is"
     assert all(r.lang == "en" for r in got.values())
+
+
+def test_dsir_weights_exact_math(spark):
+    """DSIR (r6): log_w_micro must equal the exact integer
+    difference of the two frozen models' micro-nat sums, computed by
+    hand — including OOV flooring against each model's own total —
+    and docs resembling the target model outweigh pool-typical
+    docs."""
+    import math
+
+    target_corpus = spark.createDataFrame(
+        [(100, "clean prose clean prose fine writing")],
+        "doc_id long, text string")
+    raw_corpus = spark.createDataFrame(
+        [(200, "spam spam buy now clean prose")],
+        "doc_id long, text string")
+    tm = textops.unigram_model(target_corpus).persist()
+    rm = textops.unigram_model(raw_corpus).persist()
+
+    docs = spark.createDataFrame(
+        [(0, "clean prose"), (1, "spam spam"), (2, "buy now zzz")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           textops.dsir_weights(docs, tm, rm).collect()}
+
+    def lp(cnt, total):
+        return round(math.log(cnt / total) * 1e6)
+
+    # target: clean=2 prose=2 fine=1 writing=1 (total 6)
+    # raw:    spam=2 buy=1 now=1 clean=1 prose=1 (total 6)
+    want0 = (lp(2, 6) + lp(2, 6)) - (lp(1, 6) + lp(1, 6))
+    want1 = (lp(1, 6) + lp(1, 6)) - (lp(2, 6) + lp(2, 6))  # OOV floor
+    want2 = 3 * lp(1, 6) - (lp(1, 6) + lp(1, 6) + lp(1, 6))
+    assert got[0].log_w_micro == want0 and want0 > 0
+    assert got[1].log_w_micro == want1 and want1 < 0
+    assert got[2].log_w_micro == want2 == 0  # OOV both sides cancels
+    assert got[0].n_tokens == 2
+    tm.unpersist(); rm.unpersist()
+
+
+def test_dsir_resample_gumbel_topk(spark):
+    """Gumbel-top-k resampling: deterministic across reruns, exact
+    output size, and across many salts the heavy-weight docs are
+    selected far more often than light ones (the probability-
+    proportional-to-w property)."""
+    rows = [(i, 10, 2_000_000 if i < 10 else -2_000_000)
+            for i in range(100)]  # 10 heavy, 90 light (e^4 apart)
+    weighted = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, log_w_micro long")
+    a = {r.doc_id for r in
+         textops.dsir_resample(weighted, n=20, salt="s1").collect()}
+    b = {r.doc_id for r in
+         textops.dsir_resample(weighted, n=20, salt="s1").collect()}
+    assert a == b and len(a) == 20  # deterministic, exact size
+    heavy_hits = light_hits = 0
+    for s in range(8):
+        sel = {r.doc_id for r in
+               textops.dsir_resample(weighted, n=20,
+                                     salt=f"t{s}").collect()}
+        heavy_hits += sum(1 for d in sel if d < 10)
+        light_hits += sum(1 for d in sel if d >= 10)
+    # 10 heavy docs at e^4 ~ 55x the weight: nearly always all in
+    assert heavy_hits >= 70, (heavy_hits, light_hits)
+    assert heavy_hits / 10 > light_hits / 90 * 5
