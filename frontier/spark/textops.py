@@ -1120,6 +1120,62 @@ def paragraph_dedup(docs: DataFrame, min_count: int = 2,
                     (F.col("n_occurrences") >= min_count).alias("is_dup")))
 
 
+def quality_classifier_train(positive: DataFrame, negative: DataFrame,
+                             text_col: str = "text",
+                             n_features: int = 1 << 18,
+                             max_iter: int = 30):
+    """fastText-style quality classifier (the GPT-3 / RefinedWeb
+    filtering recipe: a linear model over hashed bag-of-token
+    features, trained positive = target-quality corpus vs negative =
+    raw pool). Spark-first: MLlib's ``HashingTF`` (feature hashing —
+    the vocabulary never materializes, the model is a fixed
+    ``n_features`` weight vector) + ``LogisticRegression``; training
+    is the standard distributed L-BFGS. Returns the fitted
+    PipelineModel — freeze it with ``.save(path)`` and apply to any
+    corpus with :func:`quality_classifier_score`.
+
+    The DISCRIMINATIVE sibling of :func:`dsir_weights` (generative
+    importance weights): both consume a target corpus + a pool;
+    DSIR reweights, this one scores p(target | x) for thresholding.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, RegexTokenizer
+
+    train = (positive.select(F.col(text_col).alias("text"),
+                             F.lit(1.0).alias("label"))
+             .unionByName(negative.select(
+                 F.col(text_col).alias("text"),
+                 F.lit(0.0).alias("label")))
+             .where(F.col("text").isNotNull()))
+    pipe = Pipeline(stages=[
+        RegexTokenizer(inputCol="text", outputCol="_toks",
+                       pattern=r"\s+", toLowercase=True),
+        HashingTF(inputCol="_toks", outputCol="features",
+                  numFeatures=int(n_features)),
+        LogisticRegression(maxIter=int(max_iter), tol=1e-7,
+                           standardization=False),
+    ])
+    return pipe.fit(train)
+
+
+def quality_classifier_score(model, docs: DataFrame,
+                             text_col: str = "text") -> DataFrame:
+    """Apply a trained :func:`quality_classifier_train` model:
+    (doc_id, quality_p) with quality_p = p(target-quality | doc).
+    One narrow pass (tokenize → hash → dot product with the
+    broadcast weight vector) — the 100 TB scoring path; docs with
+    NULL text are absent (no tokens to judge)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", F.col(text_col).alias("text")))
+    return scored.select(
+        "doc_id",
+        vector_to_array("probability").getItem(1).alias("quality_p"))
+
+
 def dsir_weights(docs: DataFrame, target_model: DataFrame,
                  raw_model: DataFrame, text_col: str = "text",
                  lang_col: str | None = None) -> DataFrame:

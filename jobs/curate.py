@@ -92,7 +92,8 @@ def apply_substr_dedup(docs, k: int, min_count: int = 2):
 def build_flags(docs, *, max_dup_para: float = 0.5,
                 min_jaccard: float = 0.8, min_lp: int = -3_405_000,
                 eval_docs=None, semantic_casualties=None,
-                lm_model=None, ppl_keep=None, lang_aware=False):
+                lm_model=None, ppl_keep=None, lang_aware=False,
+                quality_model=None, quality_min: float = 0.5):
     """The curation gates as boolean columns over ``docs`` — the
     job's whole selection logic, importable for tests.
 
@@ -196,6 +197,12 @@ def build_flags(docs, *, max_dup_para: float = 0.5,
                     F.col("bucket").isin(*sorted(ppl_keep))
                     .alias("q_ppl")),
             False)] if ppl_keep else []),
+        *([("q_quality",
+            textops.quality_classifier_score(quality_model, docs)
+            .select("doc_id",
+                    (F.col("quality_p") >= quality_min)
+                    .alias("q_quality")),
+            False)] if quality_model is not None else []),
     ]
     flagged = docs
     for name, g, default in gates:
@@ -238,6 +245,15 @@ def main():
                          "twice+ in the corpus out of the text; docs "
                          "reduced to nothing drop out. The paper "
                          "uses K=50 tokens")
+    ap.add_argument("--quality-target", metavar="PARQUET",
+                    help="fastText-style quality-classifier gate "
+                         "(the GPT-3/RefinedWeb recipe): train a "
+                         "hashed-feature logistic model on this "
+                         "target-quality corpus (text column) vs a "
+                         "deterministic slice of the input pool, "
+                         "drop docs scoring below --quality-min")
+    ap.add_argument("--quality-min", type=float, default=0.5,
+                    help="classifier probability floor for q_quality")
     ap.add_argument("--dsir-target", metavar="PARQUET",
                     help="DSIR importance resampling (Xie et al. "
                          "2023) AFTER the gates: train a frozen "
@@ -419,6 +435,17 @@ def main():
                                threshold=args.semantic_threshold)
             .where(~F.col("keep"))
             .select(F.col("vec_id").alias("doc_id")))
+    quality_model = None
+    if args.quality_target:
+        # positive = the target-quality corpus; negative = a
+        # deterministic third of the input pool (md5-basis slice —
+        # training data must not depend on partitioning)
+        pos = spark.read.parquet(args.quality_target) \
+            .select("text")
+        neg = docs.where(F.conv(F.substring(F.md5(
+            F.concat(F.lit("qc:"), F.col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("bigint") % 3 == 0).select("text")
+        quality_model = textops.quality_classifier_train(pos, neg)
     flagged, flag_cols = build_flags(
         docs, max_dup_para=args.max_dup_para,
         min_jaccard=args.min_jaccard, min_lp=args.min_lp,
@@ -428,7 +455,9 @@ def main():
                   if args.lm_model else None),
         ppl_keep=(set(args.ppl_keep.split(","))
                   if args.ppl_keep else None),
-        lang_aware=args.lm_per_lang)
+        lang_aware=args.lm_per_lang,
+        quality_model=quality_model,
+        quality_min=args.quality_min)
     keep = flagged
     for n in flag_cols:
         keep = keep.where(F.col(n))

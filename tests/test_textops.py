@@ -1234,3 +1234,49 @@ def test_dsir_resample_gumbel_topk(spark):
     # 10 heavy docs at e^4 ~ 55x the weight: nearly always all in
     assert heavy_hits >= 70, (heavy_hits, light_hits)
     assert heavy_hits / 10 > light_hits / 90 * 5
+
+
+def test_quality_classifier_separates_and_freezes(spark, tmp_path):
+    """fastText-style quality classifier (r6): trained on separable
+    target-vs-pool corpora it ranks held-out target docs above pool
+    docs, NULL-text docs are absent from scoring, and the frozen
+    (saved + reloaded) model scores identically — the
+    train-once/apply-everywhere contract."""
+    import itertools
+
+    good_words = ["thoughtful", "prose", "analysis", "measured",
+                  "evidence", "careful", "context", "nuance"]
+    bad_words = ["buy", "click", "winner", "free", "casino",
+                 "pills", "offer", "now"]
+
+    def mk(words, n, base):
+        rows = []
+        for i in range(n):
+            pick = [words[(i + j) % len(words)] for j in range(6)]
+            rows.append((base + i, " ".join(pick)))
+        return rows
+
+    pos = spark.createDataFrame(mk(good_words, 40, 0),
+                                "doc_id long, text string")
+    neg = spark.createDataFrame(mk(bad_words, 40, 1000),
+                                "doc_id long, text string")
+    model = textops.quality_classifier_train(pos, neg,
+                                             n_features=1 << 12)
+
+    held = spark.createDataFrame(
+        mk(good_words, 5, 5000) + mk(bad_words, 5, 6000)
+        + [(7000, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.quality_p for r in
+           textops.quality_classifier_score(model, held).collect()}
+    assert 7000 not in got  # NULL text absent
+    assert all(got[5000 + i] > 0.9 for i in range(5))
+    assert all(got[6000 + i] < 0.1 for i in range(5))
+
+    path = str(tmp_path / "qc_model")
+    model.save(path)
+    from pyspark.ml import PipelineModel
+    frozen = PipelineModel.load(path)
+    again = {r.doc_id: r.quality_p for r in
+             textops.quality_classifier_score(frozen, held).collect()}
+    assert again == got
