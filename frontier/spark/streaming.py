@@ -684,7 +684,9 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                      paras_path: str | None = None,
                      lang_aware: bool = False,
                      shingles_path: str | None = None,
-                     substr_k: int = 50) -> dict:
+                     substr_k: int = 50,
+                     quality_model=None,
+                     quality_min: float = 0.5) -> dict:
     """Continuous-ingestion curation: the streaming face of
     jobs/curate.py for a corpus that arrives incrementally (new
     document files landing forever), run here as one availableNow
@@ -789,6 +791,18 @@ def streaming_curate(spark: SparkSession, docs_path: str,
                     b, model=model,
                     lang_col="lang" if lang_aware else None)
                       .select("doc_id", "mean_lp_micro"), "doc_id", "left"))
+            if quality_model is not None:
+                # frozen discriminative gate — same contract as the
+                # frozen LM/eval sides: trained once, applied
+                # unchanged per batch, so streaming ≡ batch
+                flags = flags.join(
+                    textops.quality_classifier_score(quality_model, b)
+                    .select("doc_id",
+                            (F.col("quality_p") >= quality_min)
+                            .alias("_q_quality")),
+                    "doc_id", "left") \
+                    .where(F.coalesce(F.col("_q_quality"),
+                                      F.lit(False)))
             selected = flags.where(
                 F.col("passes_gopher") & F.col("q_decontam")
                 & (F.coalesce(F.col("mean_lp_micro"),

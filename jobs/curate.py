@@ -359,6 +359,26 @@ def main():
                   .select("doc_id", "text")
                   .where(F.col("doc_id") % 97 == 0))
             ev.write.parquet(eval_path)
+        quality_model = None
+        if args.quality_target:
+            # the classifier freezes beside the checkpoint like the
+            # LM/eval sides: trained on the FIRST invocation, loaded
+            # unchanged on every later one
+            from pyspark.ml import PipelineModel
+            qc_path = args.checkpoint.rstrip("/") + "_qc"
+            if not os.path.exists(qc_path):
+                pos = spark.read.parquet(args.quality_target) \
+                    .select("text")
+                neg = (spark.read.parquet(os.path.join(
+                    args.sf_dir, "documents.parquet"))
+                    .where(F.conv(F.substring(F.md5(F.concat(
+                        F.lit("qc:"),
+                        F.col("doc_id").cast("string"))),
+                        1, 8), 16, 10).cast("bigint") % 3 == 0)
+                    .select("text"))
+                textops.quality_classifier_train(pos, neg) \
+                    .save(qc_path)
+            quality_model = PipelineModel.load(qc_path)
         res = streaming.streaming_curate(
             spark, args.streaming_in, args.out, args.checkpoint,
             model=spark.read.parquet(model_path),
@@ -366,7 +386,9 @@ def main():
             min_lp=args.min_lp, paras_path=args.paras,
             lang_aware=args.lm_per_lang,
             shingles_path=args.shingles,
-            substr_k=args.substr_k or 50)
+            substr_k=args.substr_k or 50,
+            quality_model=quality_model,
+            quality_min=args.quality_min)
         record = {
             "streaming": True,
             "rounds": res["rounds"],
