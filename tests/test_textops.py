@@ -1234,6 +1234,11 @@ def test_dsir_resample_gumbel_topk(spark):
     # 10 heavy docs at e^4 ~ 55x the weight: nearly always all in
     assert heavy_hits >= 70, (heavy_hits, light_hits)
     assert heavy_hits / 10 > light_hits / 90 * 5
+    # scale contract: top-n executes as TakeOrderedAndProject
+    # (per-partition top-n + driver merge), never a full sort shuffle
+    plan = textops.dsir_resample(weighted, n=20)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_quality_classifier_separates_and_freezes(spark, tmp_path):
