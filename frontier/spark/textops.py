@@ -15,6 +15,7 @@ key; LSH banding turns O(n²) near-dup search into an equi-join on
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -1156,7 +1157,29 @@ def quality_classifier_train(positive: DataFrame, negative: DataFrame,
         LogisticRegression(maxIter=int(max_iter), tol=1e-7,
                            standardization=False),
     ])
-    return pipe.fit(train)
+    model = pipe.fit(train)
+    # strip the training summary before returning: the fitted LR
+    # keeps a trainingSummary that pins the training SparkSession —
+    # and with it the session's non-serializable ObservationManager
+    # — inside the SCORING UDF's closure, so transform() explodes
+    # with Task-not-serializable once anything else in the session
+    # has registered observations (the crawl loop's df.observe
+    # metrics do). Summaries are not persisted, so a save/load
+    # round-trip through public API drops exactly that reference;
+    # the loaded model is the same weight vector.
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.ml import PipelineModel
+
+    tmp = os.path.join(tempfile.gettempdir(),
+                       f"frontier_qc_{uuid.uuid4().hex}")
+    try:
+        model.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def quality_classifier_score(model, docs: DataFrame,
