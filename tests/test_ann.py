@@ -277,10 +277,14 @@ def test_semantic_dedup_plan_no_cartesian(emb):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
-    # the vector-vs-vector prune is an equi-join on the cell key
-    assert any("SortMergeJoin [_lcell" in ln or
-               "ShuffledHashJoin [_lcell" in ln
+    # r7: the vector-vs-vector prune is a grouped-map Arrow kernel
+    # behind ONE hash exchange on the cell key — the Σ|cell|² pairs
+    # never materialize as join rows (the r6 _lcell equi-join
+    # shuffled |cell|² rows each carrying two vectors)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert any("hashpartitioning(cell_id" in ln
                for ln in plan.splitlines()), plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_ivf_assign_tie_and_nan_rules(spark):
