@@ -841,7 +841,7 @@ def substring_casualty_spans(spark: SparkSession, shingles_path: str,
     deferred rather than per-batch. One uniform h-key shuffle over
     slim rows; no text re-shingle."""
     sh = (spark.read
-          .schema("doc_id bigint, s int, h string")
+          .schema("doc_id bigint, s int, h binary")
           .parquet(shingles_path))
     counts = sh.groupBy("h").agg(F.count("*").alias("_c"))
     return (sh.join(counts, "h")
