@@ -302,9 +302,20 @@ def lsh_candidate_pairs(signatures: DataFrame, n_hashes: int = 8,
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame,
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (verification stage
-    after LSH): join shingle sets, |∩| / |∪| via array ops."""
-    sh = docs.select(F.col("doc_id"),
-                     _shingles(text_col, n).alias("sh"))
+    after LSH): join shingle sets, |∩| / |∪| via array ops.
+
+    r7: docs are semi-join PRUNED to pair participants before the
+    shingle pass — the inner joins on doc_a/doc_b discard
+    non-participants anyway, so computing (and shuffling) shingle
+    arrays for the whole corpus was pure waste (measured 3.8 s →
+    1.5 s at 10× sf0.1, 50k docs / 16k pairs). The participant-id
+    relation is candidate-pair-bounded; AQE broadcasts it when
+    small and falls back to a shuffled semi-join when not."""
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .union(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    sh = (docs.join(ids, "doc_id", "leftsemi")
+          .select(F.col("doc_id"), _shingles(text_col, n).alias("sh")))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (pairs.join(a, "doc_a").join(b, "doc_b")
@@ -825,46 +836,79 @@ def decontam_overlap(docs: DataFrame, eval_docs: DataFrame, n: int = 8,
     training pipelines drop (or flag) documents overlapping eval
     benchmarks. Returns (doc_id, n_ngrams, n_overlap, overlap_frac).
 
-    Plan shape at 100 TB: eval n-grams are DISTINCT md5 keys of a
-    benchmark-sized relation — tiny next to the corpus — so the join
-    is a broadcast semi-join against exploded corpus grams, followed
-    by one aggregation keyed on doc_id; corpus text never shuffles.
-    Gram identity is md5 (portable to the DuckDB oracle).
-    """
-    def gram_hashes(rel):
-        # bind the word array first — referencing the split expression
-        # from inside the per-gram lambda would make Catalyst inline
-        # it, re-splitting the text once per gram (60x slower)
-        words = F.filter(
-            F.split(F.lower(F.trim(
-                F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
-            lambda x: x != F.lit(""))
-        bound = rel.withColumn("_ws", words)
-        w = F.col("_ws")
-        total = F.size(w) - n + 1
-        grams = F.when(total >= 1, F.transform(
-            F.sequence(F.lit(1), total),
-            lambda i: F.md5(F.array_join(F.slice(w, i, n), " ")))) \
-            .otherwise(F.array().cast("array<string>"))
-        return bound.select("doc_id", grams.alias("grams"))
+    Plan shape at 100 TB: eval n-grams are DISTINCT keys of a
+    benchmark-sized relation — tiny next to the corpus by contract
+    (the same boundedness that justified the pre-r7 broadcast) — so
+    they are collected once and closure-held; the corpus pass is ONE
+    narrow Arrow kernel emitting (doc_id, n_ngrams, n_overlap)
+    directly. Corpus text never shuffles, and the r6 explode +
+    broadcast-join + re-aggregate round-trip (corpus-gram rows
+    materialized only to be counted back down) is gone entirely.
 
-    eval_grams = (gram_hashes(eval_docs)
-                  .select(F.explode("grams").alias("g")).distinct()
-                  .withColumn("_hit", F.lit(1)))
-    # single corpus pass: explode_outer keeps gram-less docs, the
-    # broadcast left join marks eval collisions, one doc_id
-    # aggregation restores per-doc shape
-    corpus = gram_hashes(docs).select(
-        "doc_id", F.size("grams").alias("n_ngrams"),
-        F.explode_outer("grams").alias("g"))
-    return (corpus.join(F.broadcast(eval_grams), "g", "left")
-            .groupBy("doc_id")
-            .agg(F.max("n_ngrams").alias("n_ngrams"),
-                 F.count(F.col("_hit")).alias("n_overlap"))
-            .withColumn("overlap_frac",
-                        F.when(F.col("n_ngrams") >= 1,
-                               F.col("n_overlap") / F.col("n_ngrams"))
-                        .otherwise(F.lit(0.0))))
+    r7 gram identity: the shared 128-bit Rabin-Karp window hash
+    (:func:`_rolling_lanes` — each token siphashed once, two
+    independent 64-bit polynomial lanes) replaces the md5-of-gram
+    chain that hashed O(n·tokens) bytes per document on BOTH the
+    corpus and eval sides. Counts are unchanged: gram identity only
+    has to agree between the two sides, both of which use the same
+    kernel (the DuckDB oracle restates window equality with md5 —
+    it compares the resulting counts, never the hashes). Membership
+    is verified on the full 128 bits.
+
+    Tokenization stays in the JVM (the engine's shared rule), so
+    gram boundaries are bit-identical to every other token consumer.
+    """
+    import pyarrow as pa
+
+    nn = int(n)
+    words = F.filter(
+        F.split(F.lower(F.trim(
+            F.coalesce(F.col(text_col), F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""))
+
+    # eval side: distinct 128-bit window hashes via the shared
+    # shingle kernel; benchmark-sized by contract -> driver-held
+    eval_rows = (substring_index(eval_docs, nn, text_col)
+                 .select("h").distinct().collect())
+    if eval_rows:
+        e = np.frombuffer(b"".join(r["h"] for r in eval_rows),
+                          dtype=">u8").reshape(-1, 2).astype(np.uint64)
+        e1_sorted = np.unique(e[:, 0])
+        e_set = {(int(a), int(b)) for a, b in e}
+    else:
+        e1_sorted = np.empty(0, dtype=np.uint64)
+        e_set = set()
+
+    def overlap(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            doc_ids = b.column(0).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lens, nw, _s, w1, w2 = _rolling_lanes(b.column(1), nn)
+            n_over = np.zeros(len(lens), dtype=np.int64)
+            if len(w1):
+                row_idx = np.repeat(np.arange(len(lens)), nw)
+                cand = np.isin(w1, e1_sorted)
+                if cand.any():
+                    ci = np.nonzero(cand)[0]
+                    hit = np.fromiter(
+                        ((int(w1[i]), int(w2[i])) in e_set
+                         for i in ci), dtype=bool, count=len(ci))
+                    n_over = np.bincount(row_idx[ci[hit]],
+                                         minlength=len(lens))
+            frac = np.where(nw >= 1, n_over / np.maximum(nw, 1), 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.int64()),
+                 pa.array(nw.astype(np.int32), pa.int32()),
+                 pa.array(n_over.astype(np.int64), pa.int64()),
+                 pa.array(frac, pa.float64())],
+                ["doc_id", "n_ngrams", "n_overlap", "overlap_frac"])
+
+    return (docs.select("doc_id", words.alias("w"))
+            .mapInArrow(overlap,
+                        "doc_id bigint, n_ngrams int, "
+                        "n_overlap bigint, overlap_frac double"))
 
 
 def unigram_model(docs: DataFrame, text_col: str = "text",
@@ -1367,54 +1411,15 @@ def substring_index(docs: DataFrame, k: int = 50,
     kk = int(k)
 
     def shingle(batches):
-        u8 = np.uint64
-        b1, b2 = u8(_RB1), u8(_RB2)
-        i1, i2 = u8(_RBINV1), u8(_RBINV2)
         for b in batches:
-            nrows = b.num_rows
-            if nrows == 0:
+            if b.num_rows == 0:
                 continue
             doc_ids = b.column(0).to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            wcol = b.column(1)
-            lens = pc.list_value_length(wcol).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            flat = pc.list_flatten(wcol)
-            # hash each DISTINCT token once, then gather
-            d = pc.dictionary_encode(flat)
-            idx = d.indices.to_numpy(zero_copy_only=False)
-            uniq = d.dictionary.to_numpy(zero_copy_only=False)
-            uh1 = pd.util.hash_array(uniq, hash_key=_HKEY1)
-            uh2 = pd.util.hash_array(uniq, hash_key=_HKEY2)
-            th1, th2 = uh1[idx], uh2[idx]
-            n = len(th1)
-            # power / inverse-power / prefix arrays (uint64 wrap)
-            pw1 = np.full(n, b1, dtype=u8)
-            pw1[0] = 1
-            np.multiply.accumulate(pw1, out=pw1)
-            pw2 = np.full(n, b2, dtype=u8)
-            pw2[0] = 1
-            np.multiply.accumulate(pw2, out=pw2)
-            iv1 = np.full(n, i1, dtype=u8)
-            iv1[0] = 1
-            np.multiply.accumulate(iv1, out=iv1)
-            iv2 = np.full(n, i2, dtype=u8)
-            iv2[0] = 1
-            np.multiply.accumulate(iv2, out=iv2)
-            s1 = np.zeros(n + 1, dtype=u8)
-            np.cumsum(th1 * pw1, out=s1[1:])
-            s2 = np.zeros(n + 1, dtype=u8)
-            np.cumsum(th2 * pw2, out=s2[1:])
-            # window starts: rows are pre-filtered to len >= k
-            nw = lens - kk + 1
-            m = int(nw.sum())
-            s_local = (np.arange(m, dtype=np.int64)
-                       - np.repeat(np.cumsum(nw) - nw, nw))
-            offs = np.concatenate(
-                ([0], np.cumsum(lens)))[:-1]
-            g = np.repeat(offs, nw) + s_local
-            w1 = (s1[g + kk] - s1[g]) * iv1[g]
-            w2 = (s2[g + kk] - s2[g]) * iv2[g]
+            lens, nw, s_local, w1, w2 = _rolling_lanes(b.column(1), kk)
+            m = len(s_local)
+            if m == 0:
+                continue
             hb = np.empty((m, 2), dtype=">u8")
             hb[:, 0], hb[:, 1] = w1, w2
             h_offsets = (np.arange(m + 1, dtype=np.int32) * 16)
@@ -1429,6 +1434,59 @@ def substring_index(docs: DataFrame, k: int = 50,
                 ["doc_id", "s", "h"])
 
     return base.mapInArrow(shingle, "doc_id bigint, s int, h binary")
+
+
+def _rolling_lanes(wcol, k: int):
+    """Shared Rabin-Karp core for one Arrow batch: given a
+    list<string> token column and window length ``k``, return
+    ``(lens, nw, s_local, w1, w2)`` — per-row token counts, per-row
+    window counts (0 for rows shorter than k), and for every window
+    its local start plus the two 64-bit polynomial lane hashes.
+
+    Each DISTINCT token is siphashed once (dictionary-encoded), the
+    lanes roll via uint64-wraparound prefix sums normalized by the
+    base's modular inverse, so equal token windows hash equal at any
+    offset/row — O(tokens) work, independent of k."""
+    import pyarrow.compute as pc
+
+    u8 = np.uint64
+    lens = pc.list_value_length(wcol).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nw = np.maximum(lens - k + 1, 0)
+    m = int(nw.sum())
+    empty = np.empty(0, dtype=u8)
+    if m == 0:
+        return lens, nw, np.empty(0, dtype=np.int64), empty, empty
+    flat = pc.list_flatten(wcol)
+    d = pc.dictionary_encode(flat)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    uniq = d.dictionary.to_numpy(zero_copy_only=False)
+    th1 = pd.util.hash_array(uniq, hash_key=_HKEY1)[idx]
+    th2 = pd.util.hash_array(uniq, hash_key=_HKEY2)[idx]
+    n = len(idx)
+    s1 = np.zeros(n + 1, dtype=u8)
+    s2 = np.zeros(n + 1, dtype=u8)
+    pw = np.full(n, u8(_RB1), dtype=u8)
+    pw[0] = 1
+    np.multiply.accumulate(pw, out=pw)
+    np.cumsum(th1 * pw, out=s1[1:])
+    pw2 = np.full(n, u8(_RB2), dtype=u8)
+    pw2[0] = 1
+    np.multiply.accumulate(pw2, out=pw2)
+    np.cumsum(th2 * pw2, out=s2[1:])
+    iv1 = np.full(n, u8(_RBINV1), dtype=u8)
+    iv1[0] = 1
+    np.multiply.accumulate(iv1, out=iv1)
+    iv2 = np.full(n, u8(_RBINV2), dtype=u8)
+    iv2[0] = 1
+    np.multiply.accumulate(iv2, out=iv2)
+    s_local = (np.arange(m, dtype=np.int64)
+               - np.repeat(np.cumsum(nw) - nw, nw))
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    g = np.repeat(offs, nw) + s_local
+    w1 = (s1[g + k] - s1[g]) * iv1[g]
+    w2 = (s2[g + k] - s2[g]) * iv2[g]
+    return lens, nw, s_local, w1, w2
 
 
 def apply_substring_spans(docs: DataFrame, dup_starts: DataFrame,
