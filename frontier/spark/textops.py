@@ -246,8 +246,15 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
     stage. Input is repartitioned only to spread few-file inputs
     across cores.
     """
+    # spread few-file inputs across cores; a no-op when the source
+    # is already at least core-parallel (r7: conditional — callers
+    # like q_* now pre-spread at the read, and streaming
+    # micro-batches arrive parallel, so the unconditional exchange
+    # this used to force was pure overhead there)
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    out = docs.repartition(parallelism, "doc_id") \
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
+    out = docs \
         .select("doc_id", _shingles(text_col, distinct=False).alias("_sh"))
 
     # NB: F.transform treats a 2-arg lambda as (element, index) — use
@@ -515,36 +522,51 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     portable: the DuckDB oracle restates the same arithmetic
     (per-occurrence — same majority).
     """
-    from collections import Counter
+    return docs.select("doc_id",
+                       simhash_column(text_col).alias("simhash64"))
 
+
+def simhash_column(text_col: str = "text"):
+    """:func:`simhash`'s kernel as a reusable Column, so fused
+    single-pass relations (q_doc_hashes) can ride it without a join.
+
+    r7 kernel interior: the per-doc Python ``Counter`` loop became
+    numpy pair-counting — tokens still split by the same Python rule
+    (tokenization parity with the oracle restatement), but per-doc
+    (token, weight) multisets now come from ONE ``np.unique`` over
+    ``doc_idx·V + token_id`` combined keys per batch (C-speed),
+    identical weights, identical majority vote."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def sim64(texts: pd.Series) -> pd.Series:
         n_docs = len(texts)
-        counts, toks, weights = [], [], []
-        for text in texts:
-            c = Counter(text.lower().split()) if text else {}
-            counts.append(len(c))
-            toks.extend(c.keys())
-            weights.extend(c.values())
+        tok_lists = [t.lower().split() if t else [] for t in texts]
         out = np.zeros(n_docs, dtype=np.int64)
-        if not toks:
+        flat = [tok for toks in tok_lists for tok in toks]
+        if not flat:
             return pd.Series(out)
-        counts = np.asarray(counts, dtype=np.int64)
-        w = np.asarray(weights, dtype=np.int64)
-        uq, inv = np.unique(np.asarray(toks, dtype=object),
+        doc_lens = np.fromiter(map(len, tok_lists),
+                               dtype=np.int64, count=n_docs)
+        uq, inv = np.unique(np.asarray(flat, dtype=object),
                             return_inverse=True)
+        nv = len(uq)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            doc_lens)
+        pair_keys, w = np.unique(doc_idx * nv + inv,
+                                 return_counts=True)
+        pair_doc = pair_keys // nv
+        pair_tok = pair_keys % nv
         md5 = hashlib.md5
         h_uq = np.fromiter(
             (int.from_bytes(md5(t.encode()).digest()[:8], "big")
              for t in uq),
-            dtype=np.uint64, count=len(uq))
-        h = h_uq[inv]
+            dtype=np.uint64, count=nv)
         shifts = np.arange(64, dtype=np.uint64)
-        signs = (((h[:, None] >> shifts[None, :]) & np.uint64(1))
+        signs = (((h_uq[:, None] >> shifts[None, :]) & np.uint64(1))
                  .astype(np.int64) * 2 - 1)
-        contrib = signs * w[:, None]
+        contrib = signs[pair_tok] * w[:, None]
+        counts = np.bincount(pair_doc, minlength=n_docs)
         starts = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         nz = counts > 0
@@ -556,7 +578,33 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             out[nz] = vals.view(np.int64)
         return pd.Series(out)
 
-    return docs.select("doc_id", sim64(F.col(text_col)).alias("simhash64"))
+    return sim64(F.col(text_col))
+
+
+def doc_signatures(docs: DataFrame, text_col: str = "text"
+                   ) -> DataFrame:
+    """Fused per-doc hash/dedup signals (r7): normalized md5
+    fingerprint + 64-bit simhash + exact-dedup representative flag
+    in ONE narrow pass over the scan plus ONE text_sha window
+    shuffle. Replaces the fingerprint ⋈ simhash ⋈ exact_dedup
+    3-join composition q_doc_hashes carried through r6 — three
+    doc_id shuffle-joins of relations all derived from the same
+    scan, plus the text_sha shuffle the rep flag needs anyway
+    (measured 4.8 s → ~2.4 s at 10× sf0.1). Column values are
+    byte-identical to the joined form: same expressions, and the
+    rep flag is the same row_number()-over-(text_sha, doc_id) == 1
+    rule exact_dedup applies."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)),
+                                    r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        simhash_column(text_col).alias("simhash64"),
+        F.sha2(F.col(text_col), 256).alias("_sha"))
+    w = Window.partitionBy("_sha").orderBy("doc_id")
+    return (base
+            .withColumn("is_rep", F.row_number().over(w) == 1)
+            .drop("_sha"))
 
 
 def simhash_jvm(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1085,6 +1133,15 @@ def perplexity_buckets(scored: DataFrame,
     sample yields NULL thresholds → every doc lands in ``tail``
     (deterministic in both engines).
     """
+    # r7: ``scored`` is consumed TWICE (threshold sample + final
+    # bucket join) and is usually a full unigram_logprob subtree —
+    # Spark recomputes unshared subtrees, so the whole
+    # explode/vocab-join/aggregate pipeline ran twice per query
+    # (measured ~1 s of q_unigram_logprob at 10× sf0.1). One lazy
+    # localCheckpoint materializes the slim per-doc score relation
+    # on first use; ContextCleaner frees the blocks when the result
+    # is dropped (the q_lsh_jaccard pattern).
+    scored = scored.localCheckpoint(eager=False)
     basis = F.conv(F.substring(F.md5(F.concat_ws(
         ":", F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
         16, 10).cast("bigint") % 10000

@@ -528,9 +528,11 @@ def test_at_scale_plan_shapes(spark):
 
     * stratified_sample / gopher_quality / repetition_stats are pure
       narrow maps — NO Exchange (they must pipeline with the scan);
-    * decontam_overlap joins the eval-gram relation by BROADCAST
-      (corpus grams must never shuffle for the probe side — the eval
-      set is benchmark-sized and bounded);
+    * decontam_overlap is a pure narrow map (r7): the benchmark-
+      sized eval-gram set is closure-held in the Arrow kernel, so
+      corpus grams never materialize as rows at all — no join, no
+      Exchange (pre-r7 this pinned a broadcast hash join of exploded
+      corpus grams against the eval relation);
     * tfidf_top_terms / unigram_logprob join their UNBOUNDED
       vocabulary relation by SHUFFLE on the uniform term key, never
       broadcast (Heaps' law: 10⁸–10⁹ terms at 100 TB → OOM as a
@@ -554,7 +556,9 @@ def test_at_scale_plan_shapes(spark):
 
     decon = _plan(textops.decontam_overlap(
         docs, docs.where(F.col("doc_id") % 7 == 0)))
-    assert "BroadcastHashJoin" in decon, decon
+    assert "MapInArrow" in decon, decon
+    assert "Exchange" not in decon, decon
+    assert "Join" not in decon, decon
     assert "CartesianProduct" not in decon
 
     for name, df in [
