@@ -19,10 +19,11 @@ Arrow-batched numpy kernels on quantized vectors
 Spark SQL higher-order-function lambdas are INTERPRETED per element
 (never whole-stage-codegen'd), measured ~100× slower per element on
 this box (~0.7 s per pass over just 2000×64 vectors at 16 cells,
-where one numpy matmul per Arrow batch is ~milliseconds). The ONLY
-surviving SQL fold is :func:`cosine_topk`'s raw-double exact cosine —
-the documented all-pairs verifier, never a scale path. Never per-row
-Python.
+where one numpy matmul per Arrow batch is ~milliseconds). r7 closes
+the last gap: :func:`cosine_topk`'s raw-double exact cosine now runs
+through :func:`_pair_cos_raw` — a sequential-accumulate numpy kernel
+bit-identical to the SQL left fold it replaced (parity-tested
+against the fold). Never per-row Python.
 """
 
 from __future__ import annotations
@@ -81,6 +82,38 @@ def _pair_cos(va_col, vb_col):
     return pair_cos(va_col, vb_col)
 
 
+def _pair_cos_raw(va_col, vb_col):
+    """RAW-double exact cosine with LEFT-FOLD summation semantics —
+    the r7 de-interpretation of :func:`cosine_topk`'s SQL
+    ``aggregate(zip_with(...))`` fold (the last interpreted-HOF
+    cosine left in the engine; ~100× per-element cost, same three
+    strikes as the quantized scorer's history).
+
+    Bit-parity argument: the JVM fold evaluates
+    ``((0.0 + x₀) + x₁) + …`` — a strictly sequential chain of IEEE
+    double adds. ``np.add.accumulate`` is documented to apply the
+    ufunc sequentially left-to-right, so its last element is the
+    IDENTICAL rounding chain, unlike ``np.sum``/``einsum`` (pairwise
+    / blocked). Division and sqrt are single correctly-rounded IEEE
+    ops in both engines. Hence this produces the same double as the
+    interpreted fold for every input — the DuckDB oracle's
+    restatement keeps matching bit-for-bit."""
+    @pandas_udf("double")
+    def pair_cos_raw(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.asarray(va.tolist(), dtype=np.float64)
+        b = np.asarray(vb.tolist(), dtype=np.float64)
+        if a.size == 0:
+            return pd.Series([], dtype=np.float64)
+        dots = np.add.accumulate(a * b, axis=1)[:, -1]
+        na = np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1])
+        nb = np.sqrt(np.add.accumulate(b * b, axis=1)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = dots / (na * nb)
+        return pd.Series(out)
+
+    return pair_cos_raw(va_col, vb_col)
+
+
 def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3
                 ) -> DataFrame:
     """Exact cosine top-k neighbors for every query vector.
@@ -88,6 +121,11 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3
     queries: (query_id, q_embedding). Broadcast-joined (query sets are
     small by construction); ties broken by neighbor id — fully
     deterministic output (query_id, neighbor_id, rank).
+
+    r7: the all-pairs scorer is :func:`_pair_cos_raw` — raw-double
+    left-fold cosine in one Arrow pass, bit-identical to the
+    interpreted SQL fold it replaces (sequential-accumulate
+    summation, see its docstring).
     """
     emb = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -97,8 +135,7 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3
     scored = (emb.crossJoin(F.broadcast(qry))
               .where(F.col("neighbor_id") != F.col("query_id"))
               .withColumn("cosine",
-                          _dot(F.col("v"), F.col("q")) /
-                          (_norm(F.col("v")) * _norm(F.col("q")))))
+                          _pair_cos_raw(F.col("v"), F.col("q"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored

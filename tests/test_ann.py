@@ -398,3 +398,43 @@ def test_semantic_dedup_high_cell_count_sanity(spark):
     pairs = sum(s * (s - 1) // 2 for s in sizes.values())
     allp = (n_unique + n_dup) * (n_unique + n_dup - 1) // 2
     assert pairs < allp / 10, (pairs, allp)
+
+
+def test_pair_cos_raw_bitwise_equals_sql_fold(spark):
+    """r7: cosine_topk's scorer moved from the interpreted SQL
+    ``aggregate(zip_with(...))`` fold to the sequential-accumulate
+    numpy kernel `_pair_cos_raw`. The swap is licensed ONLY by
+    bit-identity: ``np.add.accumulate`` applies IEEE adds strictly
+    left-to-right — the same rounding chain as the JVM fold — so
+    every emitted double must EQUAL the fold's, including adversarial
+    magnitude spreads where pairwise summation (np.sum) would differ
+    in the last ulp."""
+    rng = np.random.RandomState(7)
+    dim = 64
+    vecs = []
+    for i in range(64):
+        v = rng.randn(dim) * (10.0 ** rng.randint(-6, 7, size=dim))
+        vecs.append([float(x) for x in v])
+    rows = [(i, vecs[i], vecs[(i * 7 + 1) % len(vecs)])
+            for i in range(len(vecs))]
+    df = spark.createDataFrame(
+        rows, "pid long, va array<double>, vb array<double>")
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def _norm(a):
+        return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    got = df.select(
+        "pid",
+        ann._pair_cos_raw(F.col("va"), F.col("vb")).alias("fast"),
+        (_dot(F.col("va"), F.col("vb")) /
+         (_norm(F.col("va")) * _norm(F.col("vb")))).alias("fold"),
+    ).collect()
+    assert len(got) == len(vecs)
+    import struct
+    for r in got:
+        assert struct.pack("<d", r.fast) == struct.pack("<d", r.fold), r
