@@ -244,17 +244,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8,
     Entirely per-row (array_min over transform): NO explode, NO
     shuffle — minhash of 100 TB of documents is a single narrow map
     stage. Input is repartitioned only to spread few-file inputs
-    across cores.
+    across cores (kept unconditional, r6-verified: the md5-per-
+    shingle work is heavy enough per row that spreading pays even at
+    5k docs, where the generic _spread row floor would skip it).
     """
-    # spread few-file inputs across cores; a no-op when the source
-    # is already at least core-parallel (r7: conditional — callers
-    # like q_* now pre-spread at the read, and streaming
-    # micro-batches arrive parallel, so the unconditional exchange
-    # this used to force was pure overhead there)
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
-    out = docs \
+    out = docs.repartition(parallelism, "doc_id") \
         .select("doc_id", _shingles(text_col, distinct=False).alias("_sh"))
 
     # NB: F.transform treats a 2-arg lambda as (element, index) — use
