@@ -97,9 +97,16 @@ def _spread(df, key, token=None):
     if decide is None:
         decide = df.rdd.getNumPartitions() < parallelism
         if decide and token is not None:
-            import pyarrow.parquet as pq
-            decide = (pq.ParquetFile(token).metadata.num_rows
-                      >= 512 * parallelism)
+            # footer-only row count; pyarrow.dataset handles both a
+            # single parquet file and a Spark-written directory. If
+            # the probe fails for any reason, err on spreading (the
+            # under-parallel guard already fired).
+            try:
+                import pyarrow.dataset as pds
+                decide = (pds.dataset(token, format="parquet")
+                          .count_rows() >= 512 * parallelism)
+            except Exception:
+                decide = True
         if token is not None:
             _SPREAD_DECISION[(token, parallelism)] = decide
     if decide:
